@@ -1,0 +1,82 @@
+"""Solver configuration.
+
+The reference (``/root/reference/src/eigenvalues.c:72,77,109``) hard-codes absolute
+deflation thresholds (|z_i| < 1e-6, |d_i - d_j| < 1e-5) and a bisection tolerance of
+(b-a)/2 < 1e-14 (``eigenvalues.c:146,235``).  The TPU build uses *relative*,
+LAPACK-``dlaed2``-style criteria by default so accuracy scales with ||T||; the
+reference's absolute thresholds remain available through ``deflation_tol_abs_*`` for
+parity experiments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Effective unit roundoff of emulated float64 on TPU (float32-pair arithmetic,
+# ~2^-48).  CPU/GPU float64 is true IEEE double (2^-52).
+_TPU_F64_EPS = 2.0 ** -48
+_IEEE_F64_EPS = 2.0 ** -52
+
+
+def default_unit_roundoff(dtype=jnp.float64) -> float:
+    if dtype == jnp.float64:
+        try:
+            if jax.default_backend() == "tpu":
+                return _TPU_F64_EPS
+        except Exception:
+            pass
+        return _IEEE_F64_EPS
+    return float(jnp.finfo(dtype).eps)
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static configuration for the Cuppen divide-and-conquer solver.
+
+    Attributes:
+      leaf_size: target size of the base-case blocks solved by the batched dense
+        leaf eigensolver (ref: the per-rank ``LAPACKE_dsteqr`` call, main.c:460).
+        ``1`` means pure secular recursion all the way down (no dense leaf solve).
+      max_leaves: optional cap on the number of leaves (analog of the reference's
+        ``NUMTASKS``); the tree always uses a power-of-two leaf count.
+      dtype: compute dtype. float64 is required for the 1e-12*||T|| residual target.
+      unit_roundoff: effective machine epsilon used for deflation / convergence
+        tests.  ``None`` auto-detects (TPU-emulated f64 has eps ~ 2^-48).
+      deflation_factor: relative deflation threshold multiplier; entries are
+        deflated when their perturbation is <= deflation_factor * eps * scale(T)
+        (LAPACK dlaed2 uses 8).
+      max_secular_iters: iteration cap for the safeguarded-Newton secular root
+        finder (ref bisection cap: 10000, eigenvalues.c:146; Newton needs far
+        fewer as it converges quadratically).
+      secular_tol_factor: stop when |f(tau)| <= factor * eps * (1 + |weights|).
+      use_gu_eisenstat: recompute the z-vector from the solved eigenvalues via the
+        Lowner/ dlaed3 formula so eigenvectors are orthogonal to working precision
+        even for clustered spectra.
+    """
+
+    leaf_size: int = 32
+    max_leaves: Optional[int] = None
+    dtype: object = jnp.float64
+    unit_roundoff: Optional[float] = None
+    deflation_factor: float = 8.0
+    max_secular_iters: int = 60
+    secular_tol_factor: float = 8.0
+    use_gu_eisenstat: bool = True
+
+    def eps(self) -> float:
+        if self.unit_roundoff is not None:
+            return float(self.unit_roundoff)
+        return default_unit_roundoff(self.dtype)
+
+    def __hash__(self):
+        return hash((self.leaf_size, self.max_leaves, str(self.dtype),
+                     self.unit_roundoff, self.deflation_factor,
+                     self.max_secular_iters, self.secular_tol_factor,
+                     self.use_gu_eisenstat))
+
+
+DEFAULT_CONFIG = SolverConfig()

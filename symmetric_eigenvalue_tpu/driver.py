@@ -1,0 +1,216 @@
+"""Solver driver: divide -> batched leaf solve -> batched conquer -> downsweep.
+
+This is the TPU-native re-architecture of the reference's ``main()`` orchestration
+(main.c:227-698) and its distributed backtransformation (filehandling.c:241-574):
+
+  * the divide phase's MPI Send/Recv of matrix halves (main.c:397-417) becomes a
+    single vectorized tearing scatter (core/tearing.py) — distribution is sharding;
+  * the per-rank conquer loop (main.c:495-664) becomes one vmapped merge kernel
+    per tree level, so all same-level merges execute together;
+  * the per-eigenvector row pipeline of writeResults (filehandling.c:369-507,
+    O(n^2) per row with n Bcast/Barrier rounds) becomes a top-down sweep of
+    batched dense matmuls:  W[:, sel] = BD(Q_leaf) * BD(U_{L-1}) * ... * U_root[:, sel],
+    with each level's U rematerialized from its compact MergeRep.
+
+Everything below runs inside a single jit (one device dispatch per solve).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG, SolverConfig
+from .core.tearing import tear
+from .core.tree import TreePlan, build_plan
+from .core.tridiag import residual_norms
+from .dist.mesh import shard
+from .kernels.assemble import assemble_u, rows_through_merge
+from .kernels.leaf import solve_leaves
+from .kernels.secular import merge_decompose
+
+
+class EighTridiagonalResult(NamedTuple):
+    eigenvalues: jnp.ndarray              # (n,) ascending
+    eigenvectors: Optional[jnp.ndarray]   # (n, C) columns match `select` order (or all n)
+
+
+def _merge_kwargs(config: SolverConfig):
+    return dict(eps=config.eps(),
+                deflation_factor=config.deflation_factor,
+                max_secular_iters=config.max_secular_iters,
+                secular_tol_factor=config.secular_tol_factor,
+                use_gu_eisenstat=config.use_gu_eisenstat)
+
+
+def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
+    """Tear, solve leaves, and run all merge levels bottom-up.
+
+    Returns (reps, lam_top_sorted (padded_n,), Q_leaf).
+    """
+    dt = d.dtype
+    npad = plan.padded_n
+
+    # pad sentinels strictly above any eigenvalue of any torn block (Gershgorin
+    # of the torn blocks is bounded by max|d| + 3 max|e|: tearing shifts two
+    # diagonal entries by at most |beta| <= max|e| each).
+    abs_e_max = jnp.max(jnp.abs(e)) if e.shape[0] > 0 else jnp.asarray(0.0, dt)
+    bound = jnp.max(jnp.abs(d)) + 3.0 * abs_e_max
+    base = 1.5 * bound + 1.0
+    sentinels = base + jnp.arange(npad, dtype=dt) * (1e-3 * bound + 1e-3)
+
+    d_t, betas, thetas = tear(d, e, plan)
+    lam, Q, f, l = solve_leaves(d_t, e, plan, sentinels)
+    lam = shard(lam, mesh, 0)
+    Q = shard(Q, mesh, 0)
+
+    merge_fn = functools.partial(merge_decompose, **_merge_kwargs(config))
+    reps = []
+    L = plan.num_levels
+    for li, lv in enumerate(plan.levels):
+        k, m = lv.num_merges, lv.merge_size
+        h = m // 2
+        lam2 = lam.reshape(k, 2, h)
+        f2 = f.reshape(k, 2, h)
+        l2 = l.reshape(k, 2, h)
+        dm = lam2.reshape(k, m)
+        theta = thetas[li]
+        beta = betas[li]
+        # z = [last row of W_left ; first row of W_right / theta]  (helper.c:36-50)
+        z = jnp.concatenate([l2[:, 0, :], f2[:, 1, :] / theta[:, None]], axis=1)
+        rho = beta * theta          # = |beta| >= 0 by construction
+        rep = jax.vmap(merge_fn)(dm, z, rho)
+        rep = jax.tree.map(lambda a: shard(a, mesh, 0 if k > 1 else None), rep)
+        if li < L - 1:
+            # propagate the subtree's first/last actual boundary rows
+            zero = jnp.zeros((k, h), dt)
+            w = jnp.concatenate(
+                [jnp.concatenate([f2[:, 0, :], zero], axis=1)[:, None, :],
+                 jnp.concatenate([zero, l2[:, 1, :]], axis=1)[:, None, :]],
+                axis=1)
+            y = jax.vmap(rows_through_merge)(rep, w)
+            f, l = y[:, 0, :], y[:, 1, :]
+        lam = rep.lam_sorted
+        reps.append(rep)
+    return reps, lam.reshape(-1), Q
+
+
+def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None):
+    """W[:, sel] by pushing selected root-U columns down through the tree."""
+    L = plan.num_levels
+    top = jax.tree.map(lambda a: a[0], reps[-1])
+    X = assemble_u(top, cols=sel)                     # (npad, C)
+    C = X.shape[1]
+    X = shard(X, mesh, 1)
+    for li in range(L - 2, -1, -1):
+        lv = plan.levels[li]
+        k, m = lv.num_merges, lv.merge_size
+        U = jax.vmap(assemble_u)(reps[li])            # (k, m, m)
+        X = X.reshape(k, m, C)
+        X = jnp.einsum("kij,kjc->kic", U, X)
+        X = X.reshape(k * m, C)
+        X = shard(X, mesh, 1)
+    X = X.reshape(plan.num_leaves, plan.leaf_pad, C)
+    X = jnp.einsum("kij,kjc->kic", Q_leaf, X)
+    X = X.reshape(plan.padded_n, C)
+    return X[jnp.asarray(plan.row_map())]             # drop pad rows -> (n, C)
+
+
+def _solve(d, e, sel, plan: TreePlan, config: SolverConfig,
+           want_vectors: bool, mesh=None):
+    if plan.num_levels == 0:
+        # single leaf: pure batched-eigh path (ref: numtasks == 1 shortcut,
+        # main.c:476-478 / filehandling.c:358-363)
+        reps = None
+        _, lam_flat, Q = _upsweep_leaf_only(d, e, plan, config)
+        lam = lam_flat[: plan.n]
+        if not want_vectors:
+            return lam, None
+        V = Q[0][:, : plan.n]
+        V = V[:, sel] if sel is not None else V
+        return lam, V
+
+    reps, lam_flat, Q = _upsweep(d, e, plan, config, mesh)
+    lam = lam_flat[: plan.n]
+    if not want_vectors:
+        return lam, None
+    cols = sel if sel is not None else jnp.arange(plan.n)
+    V = _downsweep(reps, Q, plan, cols, mesh)
+    return lam, V
+
+
+def _upsweep_leaf_only(d, e, plan, config):
+    dt = d.dtype
+    abs_e_max = jnp.max(jnp.abs(e)) if e.shape[0] > 0 else jnp.asarray(0.0, dt)
+    bound = jnp.max(jnp.abs(d)) + 3.0 * abs_e_max
+    base = 1.5 * bound + 1.0
+    sentinels = base + jnp.arange(plan.padded_n, dtype=dt) * (1e-3 * bound + 1e-3)
+    lam, Q, _, _ = solve_leaves(d, e, plan, sentinels)
+    return None, lam.reshape(-1), Q
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_solver(n: int, config: SolverConfig, want_vectors: bool,
+                     num_select: Optional[int], mesh_id):
+    plan = build_plan(n, config.leaf_size, config.max_leaves)
+    mesh = mesh_id[1] if mesh_id is not None else None
+
+    def fn(d, e, sel):
+        return _solve(d, e, sel, plan, config, want_vectors, mesh)
+
+    return jax.jit(fn), plan
+
+
+def solve_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
+                      compute_vectors: bool = False,
+                      select=None, mesh=None) -> EighTridiagonalResult:
+    """All eigenvalues (and optionally eigenvectors) of symmetric tridiagonal T.
+
+    Args:
+      d: (n,) diagonal.  e: (n-1,) off-diagonal.
+      compute_vectors: compute all eigenvectors (ref: bare ``-e`` flag).
+      select: optional 0-based indices (ascending eigenvalue order) of
+        eigenvectors to compute (ref: ``-e FILE``, filehandling.c:165-239).
+      mesh: optional jax.sharding.Mesh for multi-device execution.
+
+    Returns eigenvalues ascending and eigenvector columns (or None).
+    """
+    d = jnp.asarray(d, config.dtype)
+    e = jnp.asarray(e, config.dtype)
+    n = d.shape[0]
+    if e.shape[0] != max(n - 1, 0):
+        raise ValueError(f"off-diagonal must have length n-1, got {e.shape[0]}")
+
+    sel_arr = None
+    nsel = None
+    if select is not None:
+        sel_arr = jnp.asarray(np.asarray(select, dtype=np.int64))
+        nsel = int(sel_arr.shape[0])
+    want_vectors = compute_vectors or (select is not None)
+
+    mesh_key = (id(mesh), mesh) if mesh is not None else None
+    fn, _ = _compiled_solver(n, config, want_vectors, nsel, mesh_key)
+    lam, V = fn(d, e, sel_arr)
+    return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V)
+
+
+def eigh_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
+                     eigvals_only: bool = False, mesh=None):
+    """scipy-style convenience wrapper: returns lam or (lam, V)."""
+    res = solve_tridiagonal(d, e, config=config,
+                            compute_vectors=not eigvals_only, mesh=mesh)
+    if eigvals_only:
+        return res.eigenvalues
+    return res.eigenvalues, res.eigenvectors
+
+
+def residuals(d, e, result: EighTridiagonalResult, select=None):
+    """Per-eigenpair residual ||T v - lam v|| (ref filehandling.c:513-531)."""
+    lam = result.eigenvalues
+    if select is not None:
+        lam = lam[jnp.asarray(select)]
+    return residual_norms(d, e, lam, result.eigenvectors)

@@ -1,0 +1,296 @@
+"""Secular-equation merge kernel: deflation + vectorized shifted root finding.
+
+This replaces the reference's ``computeEigenvalues`` (eigenvalues.c:19-255):
+
+  * z-deflation scan (eigenvalues.c:74-81)            -> relative-tolerance mask
+  * qsort + sequential Givens deflation (83-135)      -> argsort + lax.scan with a
+    fixed-shape rotation log
+  * per-root serial bisection to 1e-14 (143-247)      -> all roots solved
+    simultaneously by a safeguarded Newton iteration on the *shifted* secular
+    function (LAPACK dlaed4-style: work in tau = lambda - d_nearest so pole
+    differences keep full relative accuracy), under lax.while_loop
+  * eigenvector normalization (257-289) and the Lowner/ dlaed3 z-recomputation
+    (not present in the reference; added for orthogonality on clustered spectra)
+
+All shapes are static; deflation is expressed as masks + a stable partition
+permutation (active slots first) so the whole merge jits and vmaps across every
+same-level merge of the tree.  The tearing always produces rho >= 0 (see
+core/tearing.py) so only the rho > 0 interlacing branch exists
+(ref handles both signs: eigenvalues.c:137-138,174-208).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class MergeRep(NamedTuple):
+    """Compact representation of one rank-one merge (per-level stacked under vmap).
+
+    All index spaces refer to the *partitioned* ordering: poles sorted ascending,
+    then stably partitioned so non-deflated ("active") slots come first.
+    The original (concat-of-children) row order is recovered through ``p12``.
+    This is the TPU analog of the reference's per-node payload
+    (Q, L, D, z, N, G, C, S, P, numGR; backtransformation.h:16-124).
+    """
+
+    poles: jnp.ndarray      # (m,) post-rotation pole values (real values in all slots)
+    poles_sec: jnp.ndarray  # (m,) poles with far-away sentinels in inactive slots
+    zhat: jnp.ndarray       # (m,) unit-scale z (Gu-Eisenstat refined); 0 in inactive slots
+    rho: jnp.ndarray        # () effective rho (rho * ||z_active||^2)
+    tau: jnp.ndarray        # (m,) root offset from its shift pole (active slots)
+    shift_idx: jnp.ndarray  # (m,) int32 slot index of the shift pole per root
+    colnorm: jnp.ndarray    # (m,) eigenvector column norms N_i (1 for inactive)
+    K: jnp.ndarray          # () int32 number of active slots
+    p12: jnp.ndarray        # (m,) int32: original index held by partitioned slot j
+    rot_a: jnp.ndarray      # (m,) int32 rotation log: deflated slot (partitioned coords)
+    rot_b: jnp.ndarray      # (m,) int32 rotation log: surviving slot
+    rot_c: jnp.ndarray      # (m,) cosines
+    rot_s: jnp.ndarray      # (m,) sines
+    nrot: jnp.ndarray       # () int32 number of logged rotations
+    colperm: jnp.ndarray    # (m,) int32: slot index of the i-th ascending eigenvalue
+    lam_sorted: jnp.ndarray  # (m,) eigenvalues ascending (pads/sentinels last)
+
+
+def _deflation_scan(ds, zs, defl0, tol):
+    """Sequential Givens deflation over ascending poles (ref eigenvalues.c:98-135).
+
+    Chained semantics: the running "previous active" element is rotated against the
+    current one when the induced off-diagonal |c*s*(d_cur - d_prev)| <= tol; the
+    earlier element is deflated, the survivor accumulates the z-mass and both pole
+    values move (c^2 d_a + s^2 d_b / s^2 d_a + c^2 d_b), exactly as the reference.
+    """
+    m = ds.shape[0]
+    i32 = jnp.int32
+
+    def body(carry, t):
+        d, z, defl, prev, nrot, ra, rb, rc, rs = carry
+        dt = d[t]
+        zt = z[t]
+        has_prev = prev >= 0
+        pc = jnp.maximum(prev, 0)
+        dp = d[pc]
+        zp = z[pc]
+        r = jnp.sqrt(zp * zp + zt * zt)
+        rsafe = jnp.where(r > 0, r, 1.0)
+        c = jnp.where(r > 0, zt / rsafe, 1.0)
+        s = jnp.where(r > 0, zp / rsafe, 0.0)
+        cur_active = ~defl[t]
+        do_rot = has_prev & cur_active & (jnp.abs(c * s * (dt - dp)) <= tol)
+        d = d.at[pc].set(jnp.where(do_rot, c * c * dp + s * s * dt, dp))
+        d = d.at[t].set(jnp.where(do_rot, s * s * dp + c * c * dt, dt))
+        z = z.at[pc].set(jnp.where(do_rot, 0.0, zp))
+        z = z.at[t].set(jnp.where(do_rot, r, zt))
+        defl = defl.at[pc].set(jnp.where(do_rot, True, defl[pc]))
+        ra = ra.at[nrot].set(jnp.where(do_rot, prev.astype(i32), ra[nrot]))
+        rb = rb.at[nrot].set(jnp.where(do_rot, t.astype(i32), rb[nrot]))
+        rc = rc.at[nrot].set(jnp.where(do_rot, c, rc[nrot]))
+        rs = rs.at[nrot].set(jnp.where(do_rot, s, rs[nrot]))
+        nrot = nrot + do_rot.astype(i32)
+        prev = jnp.where(cur_active, t.astype(i32), prev)
+        return (d, z, defl, prev, nrot, ra, rb, rc, rs), None
+
+    carry0 = (ds, zs, defl0, jnp.int32(-1), jnp.int32(0),
+              jnp.zeros(m, i32), jnp.zeros(m, i32),
+              jnp.zeros(m, ds.dtype), jnp.zeros(m, ds.dtype))
+    (d, z, defl, _, nrot, ra, rb, rc, rs), _ = lax.scan(
+        body, carry0, jnp.arange(m, dtype=i32))
+    return d, z, defl, (ra, rb, rc, rs, nrot)
+
+
+def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor):
+    """Vectorized safeguarded Newton on the shifted secular equation.
+
+    For active slot i (rho_e > 0): root_i lies in (d_i, d_{i+1}) (interlacing), or
+    in (d_{K-1}, d_{K-1} + rho_e] for the exterior root.  We pick the nearest pole
+    by one midpoint evaluation (sign of f at the interval midpoint) and solve for
+    tau = lambda - d_shift.  f is strictly increasing on the bracket, so a Newton
+    step clipped into the maintained bracket (bisect on clip) always converges.
+    Replaces the reference's per-root bisection loop (eigenvalues.c:161-247).
+    """
+    m = poles_sec.shape[0]
+    dt = poles_sec.dtype
+    idx = jnp.arange(m, dtype=jnp.int32)
+    last = jnp.maximum(K - 1, 0)
+    d_last = poles_sec[last]
+    rho_pos = jnp.maximum(rho_e, jnp.asarray(jnp.finfo(dt).tiny, dt))
+    right = jnp.where(idx + 1 < K,
+                      poles_sec[jnp.minimum(idx + 1, m - 1)],
+                      d_last + rho_pos)
+    gap = right - poles_sec
+    gap = jnp.where(gap > 0, gap, jnp.asarray(1.0, dt))
+    mid = poles_sec + 0.5 * gap
+
+    zu2 = zu * zu
+
+    def f_at(lam):
+        dif = poles_sec[None, :] - lam[:, None]
+        return 1.0 + rho_e * jnp.sum(zu2[None, :] / dif, axis=1)
+
+    fmid = f_at(mid)
+    is_exterior = idx == (K - 1)
+    shift_left = (fmid > 0) | is_exterior
+    shift_idx = jnp.where(shift_left, idx, jnp.minimum(idx + 1, m - 1))
+    shift_val = poles_sec[shift_idx]
+
+    # tau bracket (lo, hi) in shifted coordinates
+    lo = jnp.where(shift_left,
+                   jnp.where(fmid > 0, jnp.zeros_like(gap), 0.5 * gap),
+                   -0.5 * gap)
+    hi = jnp.where(shift_left,
+                   jnp.where(fmid > 0, 0.5 * gap, gap),
+                   jnp.zeros_like(gap))
+    tau0 = 0.5 * (lo + hi)
+    tolf = jnp.asarray(tol_factor * eps, dt)
+    zs2 = zu2[shift_idx]          # z-weight of the shift pole per root
+
+    # Newton on h(tau) = tau * D(tau) - rho_e * z_s^2, where
+    # D(tau) = 1 + rho_e * sum_{j != s} z_j^2 / (delta_j - tau).
+    # h has the same roots as the secular f = D - rho_e z_s^2 / tau but keeps
+    # full *relative* accuracy for roots arbitrarily close to their pole
+    # (LAPACK dlaed4's singular-term isolation); this is what lets the
+    # Gu-Eisenstat z-recomputation reproduce tiny z-entries and is essential
+    # for the 1e-12*||T|| residual target.
+
+    def cond(state):
+        tau, lo, hi, done, it = state
+        return (it < max_iters) & ~jnp.all(done)
+
+    def body(state):
+        tau, lo, hi, done, it = state
+        dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]
+        inv = 1.0 / dif
+        t1 = zu2[None, :] * inv
+        t1s = jnp.take_along_axis(t1, shift_idx[:, None].astype(jnp.int32),
+                                  axis=1)[:, 0]
+        invs = jnp.take_along_axis(inv, shift_idx[:, None].astype(jnp.int32),
+                                   axis=1)[:, 0]
+        sum1 = jnp.sum(t1, axis=1) - t1s
+        sum2 = jnp.sum(t1 * inv, axis=1) - t1s * invs
+        wsum = jnp.sum(jnp.abs(t1), axis=1) - jnp.abs(t1s)
+        D = 1.0 + rho_e * sum1
+        Dp = rho_e * sum2
+        h = tau * D - rho_e * zs2
+        hp = D + tau * Dp
+        scale_h = jnp.abs(tau) * (1.0 + jnp.abs(rho_e) * wsum) + rho_e * zs2
+        done_now = jnp.abs(h) <= tolf * scale_h
+        # sign(f) = sign(h) * sign(tau); f > 0 => root below tau
+        f_pos = (h > 0) ^ (tau < 0)
+        hi_n = jnp.where(f_pos, jnp.minimum(hi, tau), hi)
+        lo_n = jnp.where(f_pos, lo, jnp.maximum(lo, tau))
+        hp_safe = jnp.where(hp != 0, hp, jnp.ones_like(hp))
+        t_newton = tau - h / hp_safe
+        inside = (t_newton > lo_n) & (t_newton < hi_n)
+        t_next = jnp.where(inside, t_newton, 0.5 * (lo_n + hi_n))
+        frozen = done | done_now
+        tau = jnp.where(frozen, tau, t_next)
+        return tau, lo_n, hi_n, frozen, it + 1
+
+    state0 = (tau0, lo, hi, ~active, jnp.int32(0))
+    tau, _, _, _, _ = lax.while_loop(cond, body, state0)
+    return tau, shift_idx, shift_val
+
+
+def _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active):
+    """Recompute z so computed lambdas are *exact* eigenvalues of the model
+    (Lowner formula; LAPACK dlaed3).  Guarantees eigenvector orthogonality to
+    working precision even under heavy clustering.
+
+    zhat_j^2 = prod_{k active, k != j} (lam_k - d_j)/(d_k - d_j) * (lam_j - d_j)
+    with lam_k - d_j evaluated as (shift_k - d_j) + tau_k (no cancellation).
+    """
+    m = poles_sec.shape[0]
+    idx = jnp.arange(m)
+    A = (shift_val[:, None] - poles_sec[None, :]) + tau[:, None]   # lam_k - d_j
+    B = poles_sec[:, None] - poles_sec[None, :]                     # d_k - d_j
+    offdiag = idx[:, None] != idx[None, :]
+    use = active[:, None] & offdiag
+    B_safe = jnp.where(use, B, jnp.ones_like(B))
+    ratio = jnp.where(use, A / B_safe, jnp.ones_like(A))
+    prod = jnp.prod(ratio, axis=0)
+    lam_minus_d = (shift_val - poles_sec) + tau   # diag term: lam_j - d_j
+    z2 = prod * lam_minus_d
+    zhat = jnp.sign(zu) * jnp.sqrt(jnp.maximum(z2, 0.0))
+    return jnp.where(active, zhat, jnp.zeros_like(zhat))
+
+
+def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
+                    max_secular_iters: int, secular_tol_factor: float,
+                    use_gu_eisenstat: bool) -> MergeRep:
+    """Solve one rank-one merge D + rho z z^T -> compact MergeRep.
+
+    ``d``: (m,) child eigenvalues (any order; pads carry large sentinels and
+    exactly/near-zero z).  ``z``: (m,).  ``rho``: () >= 0.
+    """
+    m = d.shape[0]
+    dt = d.dtype
+    i32 = jnp.int32
+
+    perm1 = jnp.argsort(d, stable=True)
+    ds = d[perm1]
+    zs = z[perm1]
+
+    znorm0_sq = jnp.sum(zs * zs)
+    znorm0 = jnp.sqrt(znorm0_sq)
+    scale = jnp.maximum(jnp.max(jnp.abs(ds)), jnp.abs(rho) * znorm0_sq)
+    scale = jnp.maximum(scale, jnp.asarray(jnp.finfo(dt).tiny, dt))
+    tol = jnp.asarray(deflation_factor * eps, dt) * scale
+
+    # type-1 deflation: negligible z component (ref eigenvalues.c:74-81)
+    zdef = jnp.abs(rho) * znorm0 * jnp.abs(zs) <= tol
+    zs0 = jnp.where(zdef, jnp.zeros_like(zs), zs)
+
+    # type-2 deflation: close poles, Givens rotations (ref eigenvalues.c:98-135)
+    d2, z2, defl, (ra, rb, rc, rs, nrot) = _deflation_scan(ds, zs0, zdef, tol)
+
+    # stable partition: active slots first
+    perm2 = jnp.argsort(defl, stable=True)
+    da = d2[perm2]
+    za = z2[perm2]
+    K = (m - jnp.sum(defl)).astype(i32)
+    inv2 = jnp.argsort(perm2)          # sorted position -> partitioned slot
+    ra_p = inv2[ra].astype(i32)
+    rb_p = inv2[rb].astype(i32)
+    p12 = perm1[perm2].astype(i32)
+
+    idx = jnp.arange(m, dtype=i32)
+    active = idx < K
+
+    znorm_sq = jnp.sum(za * za)
+    znorm = jnp.sqrt(jnp.maximum(znorm_sq, jnp.asarray(jnp.finfo(dt).tiny, dt)))
+    zu = jnp.where(active, za / znorm, jnp.zeros_like(za))
+    rho_e = rho * znorm_sq
+
+    # sentinel poles in inactive slots keep every denominator nonzero
+    sent_base = 4.0 * scale + 4.0
+    sent_step = 1e-3 * scale + 1e-3
+    poles_sec = jnp.where(active, da, sent_base + idx.astype(dt) * sent_step)
+
+    tau, shift_idx, shift_val = _solve_roots(
+        poles_sec, zu, rho_e, K, active, eps,
+        max_secular_iters, secular_tol_factor)
+
+    zvec = zu
+    if use_gu_eisenstat:
+        zvec = _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active)
+
+    # column norms N_i = ||zhat_j / (d_j - lam_i)||  (ref eigenvalues.c:257-289)
+    dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]   # (i, j)
+    u2 = (zvec * zvec)[None, :] / (dif * dif)
+    colnorm = jnp.sqrt(jnp.sum(u2, axis=1))
+    colnorm = jnp.where(active & (colnorm > 0), colnorm, jnp.ones_like(colnorm))
+
+    lam_slot = jnp.where(active, shift_val + tau, da)
+    colperm = jnp.argsort(lam_slot, stable=True).astype(i32)
+    lam_sorted = lam_slot[colperm]
+
+    return MergeRep(poles=da, poles_sec=poles_sec, zhat=zvec,
+                    rho=rho_e, tau=tau, shift_idx=shift_idx.astype(i32),
+                    colnorm=colnorm, K=K, p12=p12,
+                    rot_a=ra_p, rot_b=rb_p, rot_c=rc, rot_s=rs,
+                    nrot=nrot.astype(i32), colperm=colperm,
+                    lam_sorted=lam_sorted)

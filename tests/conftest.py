@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Mirrors the reference's "mpirun on one host" testing model (SURVEY.md §4): we run
+the sharded code paths on a virtual 8-device CPU mesh via
+``--xla_force_host_platform_device_count`` instead of needing a real TPU slice.
+"""
+
+import os
+
+# Must happen before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
