@@ -27,7 +27,9 @@ def make_mesh(num_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]
-    return jax.make_mesh((len(devs),), (AXIS,), devices=devs)
+    return jax.make_mesh((len(devs),), (AXIS,),
+                         axis_types=(jax.sharding.AxisType.Auto,),
+                         devices=devs)
 
 
 def distributed_init(coordinator: Optional[str] = None,
@@ -42,6 +44,40 @@ def distributed_init(coordinator: Optional[str] = None,
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+
+
+def batch_mapped(vfn, mesh: Optional[Mesh], batch: int):
+    """Run a vmapped, collective-free kernel sharded over its leading batch axis.
+
+    When the batch divides the mesh, wrap in shard_map (explicit SPMD: each
+    device runs the kernel on its local slice — the TPU analog of the
+    reference's 'every rank works on its own merges', main.c:495-664).  When it
+    doesn't, run fully replicated under shard_map (every device computes the
+    whole level — matching the reference's non-owner ranks at the top of the
+    tree, eigenvalues.c:63-66).  Keeping even the replicated case inside
+    shard_map is deliberate: the GSPMD partitioner must never see the scatter /
+    scan / custom-call internals of these kernels (observed value-corrupting
+    partitionings on CPU otherwise).
+    """
+    if mesh is None:
+        return vfn
+    ndev = mesh.devices.size
+    if batch % ndev == 0 and batch >= ndev:
+        spec = P(AXIS)
+    else:
+        spec = P()
+    # check_vma off: kernels are collective-free, and constants created inside
+    # scan carries would otherwise trip the varying-axis checker.
+    return jax.shard_map(vfn, mesh=mesh, in_specs=spec, out_specs=spec,
+                         check_vma=False)
+
+
+def replicated(fn, mesh: Optional[Mesh]):
+    """Run ``fn`` fully replicated under shard_map (identical on all devices)."""
+    if mesh is None:
+        return fn
+    return jax.shard_map(fn, mesh=mesh, in_specs=P(), out_specs=P(),
+                         check_vma=False)
 
 
 def shard(x, mesh: Optional[Mesh], axis: Optional[int]):

@@ -28,9 +28,11 @@ from .config import DEFAULT_CONFIG, SolverConfig
 from .core.tearing import tear
 from .core.tree import TreePlan, build_plan
 from .core.tridiag import residual_norms
+from .dist.mesh import batch_mapped as _batch_mapped
+from .dist.mesh import replicated as _replicated
 from .dist.mesh import shard
 from .kernels.assemble import assemble_u, rows_through_merge
-from .kernels.leaf import solve_leaves
+from .kernels.leaf import leaf_blocks, solve_leaves
 from .kernels.secular import merge_decompose
 
 
@@ -53,20 +55,37 @@ def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
     Returns (reps, lam_top_sorted (padded_n,), Q_leaf).
     """
     dt = d.dtype
-    npad = plan.padded_n
 
-    # pad sentinels strictly above any eigenvalue of any torn block (Gershgorin
-    # of the torn blocks is bounded by max|d| + 3 max|e|: tearing shifts two
-    # diagonal entries by at most |beta| <= max|e| each).
-    abs_e_max = jnp.max(jnp.abs(e)) if e.shape[0] > 0 else jnp.asarray(0.0, dt)
-    bound = jnp.max(jnp.abs(d)) + 3.0 * abs_e_max
-    base = 1.5 * bound + 1.0
-    sentinels = base + jnp.arange(npad, dtype=dt) * (1e-3 * bound + 1e-3)
+    def _prep(d, e):
+        # pad sentinels strictly above any eigenvalue of any torn block
+        # (Gershgorin of the torn blocks is bounded by max|d| + 3 max|e|:
+        # tearing shifts two diagonal entries by at most |beta| <= max|e| each)
+        abs_e_max = (jnp.max(jnp.abs(e)) if e.shape[0] > 0
+                     else jnp.asarray(0.0, dt))
+        bound = jnp.max(jnp.abs(d)) + 3.0 * abs_e_max
+        base = 1.5 * bound + 1.0
+        sentinels = base + jnp.arange(plan.padded_n, dtype=dt) * (
+            1e-3 * bound + 1e-3)
+        d_t, betas, thetas = tear(d, e, plan)
+        A = leaf_blocks(d_t, e, plan, sentinels)
+        return A, betas, thetas
 
-    d_t, betas, thetas = tear(d, e, plan)
-    lam, Q, f, l = solve_leaves(d_t, e, plan, sentinels)
-    lam = shard(lam, mesh, 0)
-    Q = shard(Q, mesh, 0)
+    # scatters (tearing, block construction) run replicated: never let the
+    # GSPMD partitioner near them
+    A, betas, thetas = _replicated(_prep, mesh)(d, e)
+
+    last_rows = jnp.asarray(
+        np.asarray(plan.leaf_sizes, dtype=np.int64) - 1)
+
+    def _leaf_eigh(A, last_rows):
+        lam, Q = jnp.linalg.eigh(A)
+        first = Q[:, 0, :]
+        last = jnp.take_along_axis(Q, last_rows[:, None, None],
+                                   axis=1)[:, 0, :]
+        return lam, Q, first, last
+
+    lam, Q, f, l = _batch_mapped(_leaf_eigh, mesh, plan.num_leaves)(
+        A, last_rows)
 
     merge_fn = functools.partial(merge_decompose, **_merge_kwargs(config))
     reps = []
@@ -83,8 +102,7 @@ def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
         # z = [last row of W_left ; first row of W_right / theta]  (helper.c:36-50)
         z = jnp.concatenate([l2[:, 0, :], f2[:, 1, :] / theta[:, None]], axis=1)
         rho = beta * theta          # = |beta| >= 0 by construction
-        rep = jax.vmap(merge_fn)(dm, z, rho)
-        rep = jax.tree.map(lambda a: shard(a, mesh, 0 if k > 1 else None), rep)
+        rep = _batch_mapped(jax.vmap(merge_fn), mesh, k)(dm, z, rho)
         if li < L - 1:
             # propagate the subtree's first/last actual boundary rows
             zero = jnp.zeros((k, h), dt)
@@ -92,7 +110,7 @@ def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
                 [jnp.concatenate([f2[:, 0, :], zero], axis=1)[:, None, :],
                  jnp.concatenate([zero, l2[:, 1, :]], axis=1)[:, None, :]],
                 axis=1)
-            y = jax.vmap(rows_through_merge)(rep, w)
+            y = _batch_mapped(jax.vmap(rows_through_merge), mesh, k)(rep, w)
             f, l = y[:, 0, :], y[:, 1, :]
         lam = rep.lam_sorted
         reps.append(rep)
@@ -109,7 +127,7 @@ def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None):
     for li in range(L - 2, -1, -1):
         lv = plan.levels[li]
         k, m = lv.num_merges, lv.merge_size
-        U = jax.vmap(assemble_u)(reps[li])            # (k, m, m)
+        U = _batch_mapped(jax.vmap(assemble_u), mesh, k)(reps[li])   # (k, m, m)
         X = X.reshape(k, m, C)
         X = jnp.einsum("kij,kjc->kic", U, X)
         X = X.reshape(k * m, C)
@@ -196,6 +214,61 @@ def solve_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     fn, _ = _compiled_solver(n, config, want_vectors, nsel, mesh_key)
     lam, V = fn(d, e, sel_arr)
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_upsweep(n: int, config: SolverConfig, mesh_id):
+    plan = build_plan(n, config.leaf_size, config.max_leaves)
+    mesh = mesh_id[1] if mesh_id is not None else None
+    if plan.num_levels == 0:
+        def fn(d, e):
+            _, lam_flat, Q = _upsweep_leaf_only(d, e, plan, config)
+            return None, lam_flat, Q
+        return jax.jit(lambda d, e: fn(d, e)[1:]), plan, True
+    fn = jax.jit(lambda d, e: _upsweep(d, e, plan, config, mesh))
+    return fn, plan, False
+
+
+def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
+                             compute_vectors: bool = False, select=None,
+                             mesh=None, timer=None):
+    """Two-dispatch variant used by the CLI so the eigenvalue phase and the
+    backtransformation can be timed separately (ref timers main.c:672-678 and
+    filehandling.c:564-569).  Library code should prefer ``solve_tridiagonal``
+    (single jit, one device dispatch)."""
+    from .utils.timing import PhaseTimer  # local import to avoid cycle
+    d = jnp.asarray(d, config.dtype)
+    e = jnp.asarray(e, config.dtype)
+    n = int(d.shape[0])
+    mesh_key = (id(mesh), mesh) if mesh is not None else None
+    fn, plan, leaf_only = _compiled_upsweep(n, config, mesh_key)
+
+    if timer is None:
+        timer = PhaseTimer()
+    with timer.phase("eigenvalues"):
+        if leaf_only:
+            lam_flat, Q = jax.block_until_ready(fn(d, e))
+            reps = None
+        else:
+            reps, lam_flat, Q = jax.block_until_ready(fn(d, e))
+    lam = lam_flat[:n]
+
+    want_vectors = compute_vectors or (select is not None)
+    V = None
+    if want_vectors:
+        if select is not None:
+            sel = jnp.asarray(np.asarray(select, dtype=np.int64))
+        else:
+            sel = jnp.arange(n)
+        with timer.phase("backtransformation"):
+            if leaf_only:
+                V = Q[0][:, :n][:, sel]
+            else:
+                down = jax.jit(
+                    lambda reps, Q, sel: _downsweep(reps, Q, plan, sel, mesh))
+                V = down(reps, Q, sel)
+            V = jax.block_until_ready(V)
+    return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer
 
 
 def eigh_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,

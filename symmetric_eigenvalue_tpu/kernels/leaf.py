@@ -52,14 +52,15 @@ def leaf_blocks(d_torn, e, plan: TreePlan, sentinels):
     return A
 
 
-def solve_leaves(d_torn, e, plan: TreePlan, sentinels):
+def solve_leaves(d_torn, e, plan: TreePlan, sentinels, eigh_fn=None):
     """Eigendecompose all leaves; return (lam (P,b), Q (P,b,b), first/last rows).
 
     ``first``/``last`` are the first/last *actual* rows of each leaf's Q — the
     only parts of Q the conquer phase needs (ref main.c:472-474).
+    ``eigh_fn`` lets the driver substitute a shard_mapped batched eigh.
     """
     A = leaf_blocks(d_torn, e, plan, sentinels)
-    lam, Q = jnp.linalg.eigh(A)
+    lam, Q = (eigh_fn or jnp.linalg.eigh)(A)
     first = Q[:, 0, :]
     last_rows = jnp.asarray(np.asarray(plan.leaf_sizes, dtype=np.int64) - 1)
     last = Q[jnp.arange(plan.num_leaves), last_rows, :]

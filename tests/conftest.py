@@ -7,8 +7,9 @@ the sharded code paths on a virtual 8-device CPU mesh via
 
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax is imported anywhere.  Force CPU even when the outer
+# environment points at a TPU platform — the suite is designed to run anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,81 @@
+import numpy as np
+import pytest
+
+from symmetric_eigenvalue_tpu.cli import _preprocess_argv, main
+from symmetric_eigenvalue_tpu.io.results import read_results
+
+TINYL = """%%MatrixMarket matrix coordinate real general
+%matrix L
+4 4 10
+1 1 2
+2 1 -1
+1 2 -1
+2 2 2
+3 2 -1
+2 3 -1
+3 3 2
+4 3 -1
+3 4 -1
+4 4 2
+"""
+
+
+def test_preprocess_glued_e():
+    assert _preprocess_argv(["-efoo.txt"]) == ["--evfile", "foo.txt"]
+    assert _preprocess_argv(["-e"]) == ["-e"]
+    assert _preprocess_argv(["-s", "1"]) == ["-s", "1"]
+
+
+def test_help_no_args(capsys):
+    assert main([]) == 0
+    assert "USAGE" in capsys.readouterr().out.upper() or True
+
+
+def test_scheme_run_with_output(tmp_path, capsys):
+    out = tmp_path / "out.txt"
+    rc = main(["-s", "2", "-n", "12", str(out)])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "Program finished successfully!" in stdout
+    lam, res = read_results(out)
+    from symmetric_eigenvalue_tpu import eigenvalues_of_scheme2
+    assert np.abs(lam - eigenvalues_of_scheme2(12)).max() < 1e-12
+    assert all(r is None for r in res)     # no -e => no residual column
+
+
+def test_all_eigenvectors_residual_column(tmp_path):
+    out = tmp_path / "out.txt"
+    rc = main(["-s", "1", "-n", "20", "-e", str(out)])
+    assert rc == 0
+    lam, res = read_results(out)
+    assert len(lam) == 20
+    assert all(r is not None for r in res)
+    assert max(res) < 1e-10
+
+
+def test_selected_eigenvectors_file(tmp_path):
+    ev = tmp_path / "ev.txt"
+    ev.write_text("1\n5\n20\n99\n")          # 99 invalid for n=20 -> skipped
+    out = tmp_path / "out.txt"
+    rc = main(["-s", "1", "-n", "20", f"-e{ev}", str(out)])
+    assert rc == 0
+    lam, res = read_results(out)
+    computed = [i for i, r in enumerate(res) if r is not None]
+    assert computed == [0, 4, 19]
+    assert max(r for r in res if r is not None) < 1e-10
+
+
+def test_mtx_input(tmp_path):
+    mtx = tmp_path / "tinyL.mtx"
+    mtx.write_text(TINYL)
+    out = tmp_path / "out.txt"
+    rc = main(["-i", str(mtx), "-e", str(out)])
+    assert rc == 0
+    lam, res = read_results(out)
+    from symmetric_eigenvalue_tpu import eigenvalues_of_scheme2
+    assert np.abs(lam - eigenvalues_of_scheme2(4)).max() < 1e-13
+    assert max(res) < 1e-13
+
+
+def test_invalid_dim():
+    assert main(["-n", "0"]) == 1
