@@ -56,8 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evfile", dest="evfile", default=None,
                    help=argparse.SUPPRESS)
     p.add_argument("outputfile", nargs="?", default=None)
-    p.add_argument("--leaf-size", type=int, default=32,
-                   help="target base-case block size of the merge tree")
+    p.add_argument("--leaf-size", type=int, default=None,
+                   help="target base-case block size of the merge tree "
+                        "(default: auto — 2 on TPU, 32 elsewhere)")
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices to shard over (default: all)")
     p.add_argument("--profile-dir", default=None,

@@ -58,7 +58,7 @@ class SolverConfig:
         even for clustered spectra.
     """
 
-    leaf_size: int = 32
+    leaf_size: Optional[int] = None
     max_leaves: Optional[int] = None
     dtype: object = jnp.float64
     unit_roundoff: Optional[float] = None
@@ -71,6 +71,19 @@ class SolverConfig:
         if self.unit_roundoff is not None:
             return float(self.unit_roundoff)
         return default_unit_roundoff(self.dtype)
+
+    def resolved_leaf_size(self) -> int:
+        """Auto leaf size: XLA's batched ``eigh`` is accurate (LAPACK) on CPU but
+        only ~1e-7-residual on TPU's emulated f64, so TPU recurses down to the
+        exact analytic 2x2 base case instead."""
+        if self.leaf_size is not None:
+            return self.leaf_size
+        try:
+            if jax.default_backend() == "tpu":
+                return 2
+        except Exception:
+            pass
+        return 32
 
     def __hash__(self):
         return hash((self.leaf_size, self.max_leaves, str(self.dtype),

@@ -32,7 +32,7 @@ from .dist.mesh import batch_mapped as _batch_mapped
 from .dist.mesh import replicated as _replicated
 from .dist.mesh import shard
 from .kernels.assemble import assemble_u, rows_through_merge
-from .kernels.leaf import leaf_blocks, solve_leaves
+from .kernels.leaf import leaf_blocks, leaf_eigh_fn, solve_leaves
 from .kernels.secular import merge_decompose
 
 
@@ -77,8 +77,10 @@ def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
     last_rows = jnp.asarray(
         np.asarray(plan.leaf_sizes, dtype=np.int64) - 1)
 
+    base_eigh = leaf_eigh_fn(plan.leaf_pad)
+
     def _leaf_eigh(A, last_rows):
-        lam, Q = jnp.linalg.eigh(A)
+        lam, Q = base_eigh(A)
         first = Q[:, 0, :]
         last = jnp.take_along_axis(Q, last_rows[:, None, None],
                                    axis=1)[:, 0, :]
@@ -140,6 +142,21 @@ def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None):
 
 def _solve(d, e, sel, plan: TreePlan, config: SolverConfig,
            want_vectors: bool, mesh=None):
+    # Global prescale to ||T||-ish ~ 1: keeps every intermediate centered in
+    # the representable range — essential on TPU, where emulated f64 has only
+    # the float32 exponent range (~1e+-38).
+    abs_e_max = (jnp.max(jnp.abs(e)) if e.shape[0] > 0
+                 else jnp.asarray(0.0, d.dtype))
+    snorm = jnp.maximum(jnp.max(jnp.abs(d)) + 2.0 * abs_e_max,
+                        jnp.asarray(1e-30, d.dtype))
+    d = d / snorm
+    e = e / snorm
+    lam, V = _solve_scaled(d, e, sel, plan, config, want_vectors, mesh)
+    return lam * snorm, V
+
+
+def _solve_scaled(d, e, sel, plan: TreePlan, config: SolverConfig,
+                  want_vectors: bool, mesh=None):
     if plan.num_levels == 0:
         # single leaf: pure batched-eigh path (ref: numtasks == 1 shortcut,
         # main.c:476-478 / filehandling.c:358-363)
@@ -174,7 +191,7 @@ def _upsweep_leaf_only(d, e, plan, config):
 @functools.lru_cache(maxsize=64)
 def _compiled_solver(n: int, config: SolverConfig, want_vectors: bool,
                      num_select: Optional[int], mesh_id):
-    plan = build_plan(n, config.leaf_size, config.max_leaves)
+    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
 
     def fn(d, e, sel):
@@ -218,7 +235,7 @@ def solve_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_upsweep(n: int, config: SolverConfig, mesh_id):
-    plan = build_plan(n, config.leaf_size, config.max_leaves)
+    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
     if plan.num_levels == 0:
         def fn(d, e):
@@ -243,6 +260,14 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     mesh_key = (id(mesh), mesh) if mesh is not None else None
     fn, plan, leaf_only = _compiled_upsweep(n, config, mesh_key)
 
+    # same global prescale as _solve (TPU f64 has f32 exponent range)
+    abs_e_max = (jnp.max(jnp.abs(e)) if e.shape[0] > 0
+                 else jnp.asarray(0.0, d.dtype))
+    snorm = jnp.maximum(jnp.max(jnp.abs(d)) + 2.0 * abs_e_max,
+                        jnp.asarray(1e-30, d.dtype))
+    d = d / snorm
+    e = e / snorm
+
     if timer is None:
         timer = PhaseTimer()
     with timer.phase("eigenvalues"):
@@ -251,7 +276,7 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
             reps = None
         else:
             reps, lam_flat, Q = jax.block_until_ready(fn(d, e))
-    lam = lam_flat[:n]
+    lam = lam_flat[:n] * snorm
 
     want_vectors = compute_vectors or (select is not None)
     V = None

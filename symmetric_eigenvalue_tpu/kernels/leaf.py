@@ -52,6 +52,64 @@ def leaf_blocks(d_torn, e, plan: TreePlan, sentinels):
     return A
 
 
+def eigh2x2(A):
+    """Exact batched eigendecomposition of symmetric 2x2 blocks (..., 2, 2).
+
+    Closed-form, cancellation-free (lam2 - a evaluated as c^2/(h+r)), built from
+    elementwise ops only — this is the accurate TPU base case: XLA's own
+    ``eigh`` on TPU yields ~1e-7 eigenvector residuals under emulated f64,
+    while these formulas stay at working precision.  Returns ascending
+    eigenvalues and an orthogonal Q with columns matching.
+    """
+    a = A[..., 0, 0]
+    b = A[..., 1, 1]
+    c = A[..., 0, 1]
+    t = 0.5 * (a + b)
+    h = 0.5 * (a - b)
+    r = jnp.hypot(h, c)
+    lam1 = t - r
+    lam2 = t + r
+    # eigenvector of lam2: (c, lam2 - a) or (lam2 - b, c), choosing the
+    # cancellation-free branch via (r - h)(r + h) = c^2
+    hp = jnp.abs(h) + r
+    v2x_pos = jnp.ones_like(c)                 # h >= 0: (1, c/(h+r))
+    v2y_pos = c / jnp.where(hp > 0, hp, 1.0)
+    v2x_neg = c / jnp.where(hp > 0, hp, 1.0)   # h < 0: (c/(r-h), 1)
+    v2y_neg = jnp.ones_like(c)
+    pos = h >= 0
+    v2x = jnp.where(pos, v2x_pos, v2x_neg)
+    v2y = jnp.where(pos, v2y_pos, v2y_neg)
+    nrm = jnp.hypot(v2x, v2y)
+    v2x = v2x / nrm
+    v2y = v2y / nrm
+    # degenerate diagonal block (h == 0, c == 0): identity
+    degen = r == 0
+    v2x = jnp.where(degen, jnp.zeros_like(v2x), v2x)
+    v2y = jnp.where(degen, jnp.ones_like(v2y), v2y)
+    # v1 orthogonal to v2
+    v1x = -v2y
+    v1y = v2x
+    lam = jnp.stack([lam1, lam2], axis=-1)
+    Q = jnp.stack([jnp.stack([v1x, v2x], axis=-1),
+                   jnp.stack([v1y, v2y], axis=-1)], axis=-2)
+    return lam, Q
+
+
+def eigh1x1(A):
+    """Trivial base case: pure secular recursion to scalar leaves."""
+    lam = A[..., 0, 0]
+    return lam[..., None], jnp.ones_like(A)
+
+
+def leaf_eigh_fn(leaf_pad: int):
+    """Pick the batched leaf eigensolver for a given padded leaf size."""
+    if leaf_pad == 1:
+        return eigh1x1
+    if leaf_pad == 2:
+        return eigh2x2
+    return jnp.linalg.eigh
+
+
 def solve_leaves(d_torn, e, plan: TreePlan, sentinels, eigh_fn=None):
     """Eigendecompose all leaves; return (lam (P,b), Q (P,b,b), first/last rows).
 

@@ -117,7 +117,8 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor):
     idx = jnp.arange(m, dtype=jnp.int32)
     last = jnp.maximum(K - 1, 0)
     d_last = poles_sec[last]
-    rho_pos = jnp.maximum(rho_e, jnp.asarray(jnp.finfo(dt).tiny, dt))
+    # floor must stay representable under TPU's emulated f64 (f32 exponent range)
+    rho_pos = jnp.maximum(rho_e, jnp.asarray(1e-30, dt))
     right = jnp.where(idx + 1 < K,
                       poles_sec[jnp.minimum(idx + 1, m - 1)],
                       d_last + rho_pos)
@@ -237,7 +238,7 @@ def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
     znorm0_sq = jnp.sum(zs * zs)
     znorm0 = jnp.sqrt(znorm0_sq)
     scale = jnp.maximum(jnp.max(jnp.abs(ds)), jnp.abs(rho) * znorm0_sq)
-    scale = jnp.maximum(scale, jnp.asarray(jnp.finfo(dt).tiny, dt))
+    scale = jnp.maximum(scale, jnp.asarray(1e-30, dt))
     tol = jnp.asarray(deflation_factor * eps, dt) * scale
 
     # type-1 deflation: negligible z component (ref eigenvalues.c:74-81)
@@ -261,7 +262,7 @@ def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
     active = idx < K
 
     znorm_sq = jnp.sum(za * za)
-    znorm = jnp.sqrt(jnp.maximum(znorm_sq, jnp.asarray(jnp.finfo(dt).tiny, dt)))
+    znorm = jnp.sqrt(jnp.maximum(znorm_sq, jnp.asarray(1e-30, dt)))
     zu = jnp.where(active, za / znorm, jnp.zeros_like(za))
     rho_e = rho * znorm_sq
 
@@ -279,9 +280,12 @@ def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
         zvec = _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active)
 
     # column norms N_i = ||zhat_j / (d_j - lam_i)||  (ref eigenvalues.c:257-289)
+    # ratio-first: dif^2 can underflow on TPU's emulated f64 (f32 exponent
+    # range, ~1e+-38) when a root sits ~1e-25 from its pole; z/dif stays
+    # representable (~1e13) while dif*dif does not.
     dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]   # (i, j)
-    u2 = (zvec * zvec)[None, :] / (dif * dif)
-    colnorm = jnp.sqrt(jnp.sum(u2, axis=1))
+    ratio = zvec[None, :] / dif
+    colnorm = jnp.sqrt(jnp.sum(ratio * ratio, axis=1))
     colnorm = jnp.where(active & (colnorm > 0), colnorm, jnp.ones_like(colnorm))
 
     lam_slot = jnp.where(active, shift_val + tau, da)

@@ -17,6 +17,11 @@ if "host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+try:
+    # force cpu even when a sitecustomize-installed TPU plugin pins jax_platforms
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
