@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark: full eigenpairs of a random symmetric tridiagonal matrix.
+
+Headline config (BASELINE.md): n=16384, all eigenvalues + all eigenvectors,
+max residual ||T v - lam v|| <= 1e-12 * ||T||.
+
+Baseline: LAPACK ``dstevd`` (divide-and-conquer, the exact serial algorithm the
+reference parallelizes over MPI) via scipy on the host CPU.  The reference
+itself publishes no numbers (BASELINE.md) and needs a 16-node MPI cluster; the
+serial LAPACK D&C is the honest reproducible stand-in.  The baseline timing is
+cached in BENCH_BASELINE_CACHE.json (host CPU timing is stable between runs).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <our seconds>, "unit": "s", "vs_baseline": <x faster>}
+"""
+
+import json
+import os
+import sys
+import time
+
+N = int(os.environ.get("BENCH_N", "16384"))
+SEED = int(os.environ.get("BENCH_SEED", "0"))
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_BASELINE_CACHE.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def baseline_seconds(d, e):
+    key = f"stevd_n{N}_seed{SEED}"
+    cache = {}
+    if os.path.exists(CACHE_PATH):
+        try:
+            with open(CACHE_PATH) as f:
+                cache = json.load(f)
+        except Exception:
+            cache = {}
+    if key in cache:
+        log(f"baseline (cached): {cache[key]:.2f}s")
+        return cache[key]
+    import numpy as np
+    from scipy.linalg import eigh_tridiagonal
+    log("running LAPACK dstevd baseline on host CPU ...")
+    t0 = time.perf_counter()
+    w, v = eigh_tridiagonal(d, e, lapack_driver="stevd")
+    dt = time.perf_counter() - t0
+    log(f"baseline dstevd: {dt:.2f}s  (lam[0]={w[0]:.6g})")
+    cache[key] = dt
+    try:
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1)
+    except Exception:
+        pass
+    return dt
+
+
+def main():
+    import numpy as np
+
+    rng = np.random.default_rng(SEED)
+    d_np = rng.standard_normal(N) * 5.0
+    e_np = rng.standard_normal(N - 1) * 2.0
+
+    base_s = baseline_seconds(d_np, e_np)
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    import symmetric_eigenvalue_tpu as se
+    from symmetric_eigenvalue_tpu.core.tree import build_plan
+    from symmetric_eigenvalue_tpu.core.tridiag import residual_norms
+    from symmetric_eigenvalue_tpu.driver import _solve
+
+    log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}  n={N}")
+    cfg = se.SolverConfig()
+    plan = build_plan(N, cfg.resolved_leaf_size(), cfg.max_leaves)
+    log(f"plan: P={plan.num_leaves} L={plan.num_levels} b={plan.leaf_pad}")
+
+    d = jnp.asarray(d_np)
+    e = jnp.asarray(e_np)
+
+    fn = jax.jit(lambda d, e: _solve(d, e, None, plan, cfg, True, None))
+    t0 = time.perf_counter()
+    lam, V = jax.block_until_ready(fn(d, e))
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        lam, V = jax.block_until_ready(fn(d, e))
+        times.append(time.perf_counter() - t0)
+    ours = min(times)
+    log(f"runs: {[f'{t:.2f}' for t in times]}")
+
+    # accuracy self-check on device (ref filehandling.c:511-537)
+    res = jax.jit(lambda d, e, lam, V: jnp.max(residual_norms(d, e, lam, V)))(
+        d, e, lam, V)
+    res = float(res)
+    norm_t = float(np.abs(d_np).max() + 2 * np.abs(e_np).max())
+    rel = res / norm_t
+    log(f"max residual: {res:.3e}  (= {rel:.3e} * ||T||)")
+
+    out = {
+        "metric": f"wallclock_full_eigenpairs_n{N}",
+        "value": round(ours, 4),
+        "unit": "s",
+        "vs_baseline": round(base_s / ours, 3),
+        "baseline_s": round(base_s, 3),
+        "baseline_def": "LAPACK dstevd (scipy eigh_tridiagonal) host CPU",
+        "max_residual_over_normT": float(f"{rel:.3e}"),
+        "residual_target_met": bool(rel <= 1e-12),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
