@@ -91,15 +91,17 @@ def main():
     d = jnp.asarray(d_np)
     e = jnp.asarray(e_np)
 
+    from symmetric_eigenvalue_tpu.utils.timing import sync
+
     fn = jax.jit(lambda d, e: _solve(d, e, None, plan, cfg, True, None))
     t0 = time.perf_counter()
-    lam, V = jax.block_until_ready(fn(d, e))
+    lam, V = sync(fn(d, e))
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        lam, V = jax.block_until_ready(fn(d, e))
+        lam, V = sync(fn(d, e))
         times.append(time.perf_counter() - t0)
     ours = min(times)
     log(f"runs: {[f'{t:.2f}' for t in times]}")

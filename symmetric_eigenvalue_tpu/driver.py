@@ -268,14 +268,15 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     d = d / snorm
     e = e / snorm
 
+    from .utils.timing import sync as _sync
     if timer is None:
         timer = PhaseTimer()
     with timer.phase("eigenvalues"):
         if leaf_only:
-            lam_flat, Q = jax.block_until_ready(fn(d, e))
+            lam_flat, Q = _sync(fn(d, e))
             reps = None
         else:
-            reps, lam_flat, Q = jax.block_until_ready(fn(d, e))
+            reps, lam_flat, Q = _sync(fn(d, e))
     lam = lam_flat[:n] * snorm
 
     want_vectors = compute_vectors or (select is not None)
@@ -292,7 +293,7 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
                 down = jax.jit(
                     lambda reps, Q, sel: _downsweep(reps, Q, plan, sel, mesh))
                 V = down(reps, Q, sel)
-            V = jax.block_until_ready(V)
+            V = _sync(V)
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer
 
 

@@ -14,6 +14,22 @@ import time
 from typing import Dict, Optional
 
 import jax
+import numpy as np
+
+
+def sync(tree):
+    """Robust device synchronization.
+
+    ``block_until_ready`` is a no-op on some tunneled PJRT platforms (observed
+    on axon-proxied TPU), so additionally fetch one element of every array leaf
+    to the host — a fetch cannot complete before the producing computation does.
+    Returns ``tree`` unchanged.
+    """
+    tree = jax.block_until_ready(tree)
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
+            np.asarray(leaf.ravel()[0])
+    return tree
 
 
 class PhaseTimer:
@@ -21,19 +37,18 @@ class PhaseTimer:
         self.times: Dict[str, float] = {}
 
     @contextlib.contextmanager
-    def phase(self, name: str, sync=None):
+    def phase(self, name: str, sync_tree=None):
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            if sync is not None:
-                jax.block_until_ready(sync)
+            if sync_tree is not None:
+                sync(sync_tree)
             self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
 
     def time_phase(self, name: str, fn, *args, **kwargs):
         t0 = time.perf_counter()
-        out = fn(*args, **kwargs)
-        out = jax.block_until_ready(out)
+        out = sync(fn(*args, **kwargs))
         self.times[name] = self.times.get(name, 0.0) + time.perf_counter() - t0
         return out
 
