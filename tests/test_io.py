@@ -129,3 +129,42 @@ def test_results_partial_selection(tmp_path):
     write_results(p, np.arange(4.0), [9e-9], computed_indices=[2])
     lam, res = read_results(p)
     assert res[2] is not None and res[0] is None and len(lam) == 4
+
+
+def test_native_parser_matches_python(tmp_path, rng):
+    import pytest as _pytest
+
+    from symmetric_eigenvalue_tpu.io import native
+
+    if native.get_lib() is None:
+        _pytest.skip("no C toolchain available")
+    n = 200
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    p = tmp_path / "m.mtx"
+    write_symmetric_tridiagonal(p, d, e)
+    dn, en, err = native.read_symm_tridiag(p)
+    assert err == ""
+    d2, e2 = read_symmetric_tridiagonal(p, use_native=False)
+    assert np.array_equal(dn, d2)
+    assert np.array_equal(en, e2)
+    # native writer round-trips through the python reader
+    p2 = tmp_path / "m2.mtx"
+    assert native.write_symm_tridiag(p2, d, e, "x")
+    d3, e3 = read_symmetric_tridiagonal(p2, use_native=False)
+    assert np.array_equal(d3, dn)
+    assert np.array_equal(e3, en)
+
+
+def test_native_parser_rejects_bad(tmp_path):
+    import pytest as _pytest
+
+    from symmetric_eigenvalue_tpu.io import native
+
+    if native.get_lib() is None:
+        _pytest.skip("no C toolchain available")
+    p = tmp_path / "bad.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "3 3 2\n1 1 1.0\n3 1 5.0\n")
+    d, e, err = native.read_symm_tridiag(p)
+    assert d is None and "tridiagonal" in err
