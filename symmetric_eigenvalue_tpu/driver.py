@@ -307,6 +307,39 @@ def eigh_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     return res.eigenvalues, res.eigenvectors
 
 
+def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
+         eigvals_only: bool = False, mesh=None, panel: int = 32):
+    """Dense symmetric eigensolver: Householder tridiagonalization front-end
+    (kernels/tridiagonalize.py) + the Cuppen tridiagonal solver + compact-WY
+    backtransformation.  Returns lam or (lam, V) like jnp.linalg.eigh.
+
+    (The reference has no dense path — this fulfils BASELINE.md's end-to-end
+    dense requirement.)
+    """
+    from .kernels.tridiagonalize import apply_q, tridiagonalize
+
+    A = jnp.asarray(A, config.dtype)
+    n = A.shape[0]
+    if A.shape != (n, n):
+        raise ValueError("A must be square")
+    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
+
+    @jax.jit
+    def fn(A):
+        d, e, V, tau = tridiagonalize(A, panel=panel)
+        lam, W = _solve(d, e, None, plan, config,
+                        want_vectors=not eigvals_only, mesh=mesh)
+        if eigvals_only:
+            return lam, None
+        X = apply_q(V, tau, W, panel=panel)
+        return lam, X
+
+    lam, X = fn(A)
+    if eigvals_only:
+        return lam
+    return lam, X
+
+
 def residuals(d, e, result: EighTridiagonalResult, select=None):
     """Per-eigenpair residual ||T v - lam v|| (ref filehandling.c:513-531)."""
     lam = result.eigenvalues
