@@ -66,6 +66,7 @@ class SolverConfig:
     max_secular_iters: int = 60
     secular_tol_factor: float = 8.0
     use_gu_eisenstat: bool = True
+    block_size: int = 2048
 
     def eps(self) -> float:
         if self.unit_roundoff is not None:
@@ -89,7 +90,7 @@ class SolverConfig:
         return hash((self.leaf_size, self.max_leaves, str(self.dtype),
                      self.unit_roundoff, self.deflation_factor,
                      self.max_secular_iters, self.secular_tol_factor,
-                     self.use_gu_eisenstat))
+                     self.use_gu_eisenstat, self.block_size))
 
 
 DEFAULT_CONFIG = SolverConfig()

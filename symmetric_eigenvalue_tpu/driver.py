@@ -31,7 +31,7 @@ from .core.tridiag import residual_norms
 from .dist.mesh import batch_mapped as _batch_mapped
 from .dist.mesh import replicated as _replicated
 from .dist.mesh import shard
-from .kernels.assemble import assemble_u, rows_through_merge
+from .kernels.assemble import apply_u, assemble_u, rows_through_merge
 from .kernels.leaf import leaf_blocks, leaf_eigh_fn, solve_leaves
 from .kernels.secular import merge_decompose
 
@@ -46,7 +46,8 @@ def _merge_kwargs(config: SolverConfig):
                 deflation_factor=config.deflation_factor,
                 max_secular_iters=config.max_secular_iters,
                 secular_tol_factor=config.secular_tol_factor,
-                use_gu_eisenstat=config.use_gu_eisenstat)
+                use_gu_eisenstat=config.use_gu_eisenstat,
+                block_size=config.block_size)
 
 
 def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
@@ -112,26 +113,34 @@ def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
                 [jnp.concatenate([f2[:, 0, :], zero], axis=1)[:, None, :],
                  jnp.concatenate([zero, l2[:, 1, :]], axis=1)[:, None, :]],
                 axis=1)
-            y = _batch_mapped(jax.vmap(rows_through_merge), mesh, k)(rep, w)
+            y = _batch_mapped(
+                jax.vmap(lambda r_, w_: rows_through_merge(
+                    r_, w_, block=config.block_size)), mesh, k)(rep, w)
             f, l = y[:, 0, :], y[:, 1, :]
         lam = rep.lam_sorted
         reps.append(rep)
     return reps, lam.reshape(-1), Q
 
 
-def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None):
-    """W[:, sel] by pushing selected root-U columns down through the tree."""
+def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None, block=2048):
+    """W[:, sel] by pushing selected root-U columns down through the tree.
+
+    Each level applies BD(U_level) via ``apply_u`` — U row blocks are
+    rematerialized on the fly and immediately matmul'd, so no (k, m, m) stack
+    is ever stored.
+    """
     L = plan.num_levels
     top = jax.tree.map(lambda a: a[0], reps[-1])
-    X = assemble_u(top, cols=sel)                     # (npad, C)
+    X = assemble_u(top, cols=sel, block=block)        # (npad, C)
     C = X.shape[1]
     X = shard(X, mesh, 1)
     for li in range(L - 2, -1, -1):
         lv = plan.levels[li]
         k, m = lv.num_merges, lv.merge_size
-        U = _batch_mapped(jax.vmap(assemble_u), mesh, k)(reps[li])   # (k, m, m)
         X = X.reshape(k, m, C)
-        X = jnp.einsum("kij,kjc->kic", U, X)
+        X = _batch_mapped(
+            jax.vmap(lambda rep, Xb: apply_u(rep, Xb, block=block)),
+            mesh, k)(reps[li], X)
         X = X.reshape(k * m, C)
         X = shard(X, mesh, 1)
     X = X.reshape(plan.num_leaves, plan.leaf_pad, C)
@@ -174,7 +183,7 @@ def _solve_scaled(d, e, sel, plan: TreePlan, config: SolverConfig,
     if not want_vectors:
         return lam, None
     cols = sel if sel is not None else jnp.arange(plan.n)
-    V = _downsweep(reps, Q, plan, cols, mesh)
+    V = _downsweep(reps, Q, plan, cols, mesh, block=config.block_size)
     return lam, V
 
 
@@ -291,7 +300,8 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
                 V = Q[0][:, :n][:, sel]
             else:
                 down = jax.jit(
-                    lambda reps, Q, sel: _downsweep(reps, Q, plan, sel, mesh))
+                    lambda reps, Q, sel: _downsweep(
+                        reps, Q, plan, sel, mesh, block=config.block_size))
                 V = down(reps, Q, sel)
             V = _sync(V)
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer

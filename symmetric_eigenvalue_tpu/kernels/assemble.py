@@ -1,11 +1,11 @@
-"""Eigenvector assembly from a MergeRep: U reconstruction and row propagation.
+"""Eigenvector assembly from a MergeRep: U application and row propagation.
 
 Replaces the reference's ``getEigenVector`` / ``computeNormalizationFactors``
 (eigenvalues.c:257-358) and the scalar first/last-row dot products of the conquer
-loop (main.c:612-661).  Instead of extracting one eigenvector at a time, whole
-column blocks of U are materialized from the compact MergeRep (an elementwise
-Cauchy-like kernel) and consumed by batched MXU matmuls; U is *rematerialized* on
-the downsweep rather than stored, trading cheap FLOPs for HBM.
+loop (main.c:612-661).  U is never stored: it is *rematerialized* in row blocks
+from the compact MergeRep (an elementwise Cauchy-like kernel) and immediately
+consumed by MXU matmuls — trading cheap FLOPs for HBM, which is what the
+1e+-38-range / 16 GB TPU memory system wants.
 
 Coordinate convention: ``U[j, i]`` with rows j = pole coordinates (original
 concat-of-children order after ``p12`` inversion) and columns i = eigenvalues in
@@ -20,14 +20,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .secular import MergeRep
+from .secular import MergeRep, map_slot_blocks
 
 
-def _denominators(rep: MergeRep, slots):
-    """(m, C) matrix of d_j - lam_i = (d_j - d_shift_i) - tau_i, full accuracy."""
+def _denom_block(rep: MergeRep, rows, slots):
+    """(|rows|, |slots|) of d_row - lam_slot = (d_row - d_shift) - tau."""
     shift = rep.shift_idx[slots]
-    tauc = rep.tau[slots]
-    return (rep.poles_sec[:, None] - rep.poles_sec[shift][None, :]) - tauc[None, :]
+    return ((rep.poles_sec[rows][:, None] - rep.poles_sec[shift][None, :])
+            - rep.tau[slots][None, :])
 
 
 def _replay_rotations_rows(rep: MergeRep, u):
@@ -69,23 +69,60 @@ def _replay_rotations_cols_t(rep: MergeRep, w):
     return lax.fori_loop(0, rep.nrot, body, w)
 
 
-def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None):
+def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None,
+               block: int = 2048):
     """Materialize U columns.  ``cols``: indices into the ascending eigenvalue
     order (None = all m columns).  Returns (m, C) with rows in original order.
+    Rows are produced in blocks of ``block`` to bound live memory.
     """
     m = rep.poles.shape[0]
     slots = rep.colperm if cols is None else rep.colperm[cols]
     act = slots < rep.K
-    denom = _denominators(rep, slots)
-    u = rep.zhat[:, None] / denom / rep.colnorm[slots][None, :]
-    eye_cols = (jnp.arange(m, dtype=slots.dtype)[:, None] == slots[None, :])
-    u = jnp.where(act[None, :], u, eye_cols.astype(u.dtype))
+    ncol = rep.colnorm[slots]
+
+    def row_block(rows):
+        denom = _denom_block(rep, rows, slots)
+        u = rep.zhat[rows][:, None] / denom / ncol[None, :]
+        eye_cols = rows[:, None] == slots[None, :].astype(rows.dtype)
+        return jnp.where(act[None, :], u, eye_cols.astype(u.dtype))
+
+    u = map_slot_blocks(row_block, m, block)
     u = _replay_rotations_rows(rep, u)
     inv_rows = jnp.argsort(rep.p12)
     return u[inv_rows]
 
 
-def rows_through_merge(rep: MergeRep, w):
+def apply_u(rep: MergeRep, X, block: int = 2048):
+    """Y = U @ X without materializing U  (the downsweep workhorse).
+
+    ``X``: (m, C), rows indexed by this merge's ascending-eigenvalue order.
+    Returns (m, C) with rows in the original (concat-of-children) order.
+    U factorizes as  P_row^-1 R [[Ua, 0], [0, I]] P_col, so:
+      Xs = P_col X;  Y0 = M Xs + (inactive-row passthrough);  rotations on rows;
+      un-permute rows.  M row blocks are generated on the fly and hit the MXU.
+    """
+    m = rep.poles.shape[0]
+    inv_col = jnp.argsort(rep.colperm)
+    Xs = X[inv_col]
+    slots = jnp.arange(m, dtype=rep.colperm.dtype)
+    act = slots < rep.K
+    ncol_inv = jnp.where(act, 1.0 / rep.colnorm, jnp.zeros_like(rep.colnorm))
+
+    def row_block(rows):
+        denom = _denom_block(rep, rows, slots)
+        Mb = (rep.zhat[rows][:, None] / denom) * ncol_inv[None, :]
+        yb = Mb @ Xs
+        # inactive columns are e_slot: identity passthrough on inactive rows
+        passthrough = (rows >= rep.K)[:, None]
+        return yb + jnp.where(passthrough, Xs[rows], jnp.zeros_like(yb))
+
+    y = map_slot_blocks(row_block, m, block)
+    y = _replay_rotations_rows(rep, y)
+    inv_rows = jnp.argsort(rep.p12)
+    return y[inv_rows]
+
+
+def rows_through_merge(rep: MergeRep, w, block: int = 2048):
     """y = w @ (R U_slot) with output columns in ascending-eigenvalue order.
 
     ``w``: (r, m) rows in original coordinates.  Used on the upsweep to push the
@@ -96,9 +133,14 @@ def rows_through_merge(rep: MergeRep, w):
     m = rep.poles.shape[0]
     wp = w[:, rep.p12]
     wp = _replay_rotations_cols_t(rep, wp)
-    denom = _denominators(rep, jnp.arange(m, dtype=rep.colperm.dtype))
-    M = rep.zhat[:, None] / denom                    # (j, i)
-    y_act = (wp @ M) / rep.colnorm[None, :]
-    active = (jnp.arange(m, dtype=rep.K.dtype) < rep.K)[None, :]
-    y = jnp.where(active, y_act, wp)
+    wz = wp * rep.zhat[None, :]
+    rows = jnp.arange(m, dtype=rep.colperm.dtype)
+
+    def col_block(slots):
+        denom = _denom_block(rep, rows, slots)       # (m, B)
+        y_act = (wz @ (1.0 / denom)) / rep.colnorm[slots][None, :]
+        active = (slots < rep.K)[None, :]
+        return jnp.where(active, y_act, wp[:, slots]).T   # (B, r)
+
+    y = map_slot_blocks(col_block, m, block).T            # (r, m)
     return y[:, rep.colperm]

@@ -56,6 +56,29 @@ class MergeRep(NamedTuple):
     lam_sorted: jnp.ndarray  # (m,) eigenvalues ascending (pads/sentinels last)
 
 
+def map_slot_blocks(fn, m: int, block: int):
+    """Run ``fn(slot_indices)`` over contiguous blocks of [0, m) and concatenate.
+
+    Bounds live memory to O(block * m) in the O(m^2) phases (root finding, z
+    recomputation, norms, U application) — at n=16384 in f64 a full m x m
+    intermediate is 2.1 GB and several of them OOM a 16 GB chip; blocks of 2048
+    keep the peak at ~270 MB per buffer while staying wide enough for the VPU.
+    ``fn`` returns arrays with leading dim |block|; blocks run under lax.map.
+    """
+    B = m
+    while B > block and B % 2 == 0:
+        B //= 2
+    B = max(1, min(B, m))
+    nblk = m // B
+    i32 = jnp.int32
+    if nblk == 1:
+        return fn(jnp.arange(m, dtype=i32))
+    out = lax.map(lambda bi: fn(bi * B + jnp.arange(B, dtype=i32)),
+                  jnp.arange(nblk, dtype=i32))
+    return jax.tree.map(
+        lambda a: a.reshape((nblk * B,) + a.shape[2:]), out)
+
+
 def _deflation_scan(ds, zs, defl0, tol):
     """Sequential Givens deflation over ascending poles (ref eigenvalues.c:98-135).
 
@@ -102,7 +125,8 @@ def _deflation_scan(ds, zs, defl0, tol):
     return d, z, defl, (ra, rb, rc, rs, nrot)
 
 
-def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor):
+def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
+                 block):
     """Vectorized safeguarded Newton on the shifted secular equation.
 
     For active slot i (rho_e > 0): root_i lies in (d_i, d_{i+1}) (interlacing), or
@@ -122,32 +146,10 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor):
     right = jnp.where(idx + 1 < K,
                       poles_sec[jnp.minimum(idx + 1, m - 1)],
                       d_last + rho_pos)
-    gap = right - poles_sec
-    gap = jnp.where(gap > 0, gap, jnp.asarray(1.0, dt))
-    mid = poles_sec + 0.5 * gap
-
+    gap_all = right - poles_sec
+    gap_all = jnp.where(gap_all > 0, gap_all, jnp.asarray(1.0, dt))
     zu2 = zu * zu
-
-    def f_at(lam):
-        dif = poles_sec[None, :] - lam[:, None]
-        return 1.0 + rho_e * jnp.sum(zu2[None, :] / dif, axis=1)
-
-    fmid = f_at(mid)
-    is_exterior = idx == (K - 1)
-    shift_left = (fmid > 0) | is_exterior
-    shift_idx = jnp.where(shift_left, idx, jnp.minimum(idx + 1, m - 1))
-    shift_val = poles_sec[shift_idx]
-
-    # tau bracket (lo, hi) in shifted coordinates
-    lo = jnp.where(shift_left,
-                   jnp.where(fmid > 0, jnp.zeros_like(gap), 0.5 * gap),
-                   -0.5 * gap)
-    hi = jnp.where(shift_left,
-                   jnp.where(fmid > 0, 0.5 * gap, gap),
-                   jnp.zeros_like(gap))
-    tau0 = 0.5 * (lo + hi)
     tolf = jnp.asarray(tol_factor * eps, dt)
-    zs2 = zu2[shift_idx]          # z-weight of the shift pole per root
 
     # Newton on h(tau) = tau * D(tau) - rho_e * z_s^2, where
     # D(tau) = 1 + rho_e * sum_{j != s} z_j^2 / (delta_j - tau).
@@ -155,73 +157,103 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor):
     # full *relative* accuracy for roots arbitrarily close to their pole
     # (LAPACK dlaed4's singular-term isolation); this is what lets the
     # Gu-Eisenstat z-recomputation reproduce tiny z-entries and is essential
-    # for the 1e-12*||T|| residual target.
+    # for the 1e-12*||T|| residual target.  Roots are solved per slot-block
+    # (map_slot_blocks): each block's while_loop exits as soon as *its* roots
+    # converge, and live memory is O(block * m).
 
-    def cond(state):
-        tau, lo, hi, done, it = state
-        return (it < max_iters) & ~jnp.all(done)
+    def solve_block(sl):
+        gap = gap_all[sl]
+        mid = poles_sec[sl] + 0.5 * gap
+        dif0 = poles_sec[None, :] - mid[:, None]
+        fmid = 1.0 + rho_e * jnp.sum(zu2[None, :] / dif0, axis=1)
+        is_exterior = sl == (K - 1)
+        shift_left = (fmid > 0) | is_exterior
+        shift_idx = jnp.where(shift_left, sl, jnp.minimum(sl + 1, m - 1))
+        shift_val = poles_sec[shift_idx]
+        lo = jnp.where(shift_left,
+                       jnp.where(fmid > 0, jnp.zeros_like(gap), 0.5 * gap),
+                       -0.5 * gap)
+        hi = jnp.where(shift_left,
+                       jnp.where(fmid > 0, 0.5 * gap, gap),
+                       jnp.zeros_like(gap))
+        tau0 = 0.5 * (lo + hi)
+        zs2 = zu2[shift_idx]
 
-    def body(state):
-        tau, lo, hi, done, it = state
-        dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]
-        inv = 1.0 / dif
-        t1 = zu2[None, :] * inv
-        t1s = jnp.take_along_axis(t1, shift_idx[:, None].astype(jnp.int32),
-                                  axis=1)[:, 0]
-        invs = jnp.take_along_axis(inv, shift_idx[:, None].astype(jnp.int32),
-                                   axis=1)[:, 0]
-        sum1 = jnp.sum(t1, axis=1) - t1s
-        sum2 = jnp.sum(t1 * inv, axis=1) - t1s * invs
-        wsum = jnp.sum(jnp.abs(t1), axis=1) - jnp.abs(t1s)
-        D = 1.0 + rho_e * sum1
-        Dp = rho_e * sum2
-        h = tau * D - rho_e * zs2
-        hp = D + tau * Dp
-        scale_h = jnp.abs(tau) * (1.0 + jnp.abs(rho_e) * wsum) + rho_e * zs2
-        done_now = jnp.abs(h) <= tolf * scale_h
-        # sign(f) = sign(h) * sign(tau); f > 0 => root below tau
-        f_pos = (h > 0) ^ (tau < 0)
-        hi_n = jnp.where(f_pos, jnp.minimum(hi, tau), hi)
-        lo_n = jnp.where(f_pos, lo, jnp.maximum(lo, tau))
-        hp_safe = jnp.where(hp != 0, hp, jnp.ones_like(hp))
-        t_newton = tau - h / hp_safe
-        inside = (t_newton > lo_n) & (t_newton < hi_n)
-        t_next = jnp.where(inside, t_newton, 0.5 * (lo_n + hi_n))
-        frozen = done | done_now
-        tau = jnp.where(frozen, tau, t_next)
-        return tau, lo_n, hi_n, frozen, it + 1
+        def cond(state):
+            tau, lo, hi, done, it = state
+            return (it < max_iters) & ~jnp.all(done)
 
-    state0 = (tau0, lo, hi, ~active, jnp.int32(0))
-    tau, _, _, _, _ = lax.while_loop(cond, body, state0)
-    return tau, shift_idx, shift_val
+        def body(state):
+            tau, lo, hi, done, it = state
+            dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]
+            inv = 1.0 / dif
+            t1 = zu2[None, :] * inv
+            i32 = jnp.int32
+            t1s = jnp.take_along_axis(
+                t1, shift_idx[:, None].astype(i32), axis=1)[:, 0]
+            invs = jnp.take_along_axis(
+                inv, shift_idx[:, None].astype(i32), axis=1)[:, 0]
+            sum1 = jnp.sum(t1, axis=1) - t1s
+            sum2 = jnp.sum(t1 * inv, axis=1) - t1s * invs
+            wsum = jnp.sum(jnp.abs(t1), axis=1) - jnp.abs(t1s)
+            D = 1.0 + rho_e * sum1
+            Dp = rho_e * sum2
+            h = tau * D - rho_e * zs2
+            hp = D + tau * Dp
+            scale_h = jnp.abs(tau) * (1.0 + jnp.abs(rho_e) * wsum) + rho_e * zs2
+            done_now = jnp.abs(h) <= tolf * scale_h
+            # sign(f) = sign(h) * sign(tau); f > 0 => root below tau
+            f_pos = (h > 0) ^ (tau < 0)
+            hi_n = jnp.where(f_pos, jnp.minimum(hi, tau), hi)
+            lo_n = jnp.where(f_pos, lo, jnp.maximum(lo, tau))
+            hp_safe = jnp.where(hp != 0, hp, jnp.ones_like(hp))
+            t_newton = tau - h / hp_safe
+            inside = (t_newton > lo_n) & (t_newton < hi_n)
+            t_next = jnp.where(inside, t_newton, 0.5 * (lo_n + hi_n))
+            frozen = done | done_now
+            tau = jnp.where(frozen, tau, t_next)
+            return tau, lo_n, hi_n, frozen, it + 1
+
+        state0 = (tau0, lo, hi, ~active[sl], jnp.int32(0))
+        tau, _, _, _, _ = lax.while_loop(cond, body, state0)
+        return tau, shift_idx.astype(jnp.int32)
+
+    tau, shift_idx = map_slot_blocks(solve_block, m, block)
+    return tau, shift_idx, poles_sec[shift_idx]
 
 
-def _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active):
+def _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active, block):
     """Recompute z so computed lambdas are *exact* eigenvalues of the model
     (Lowner formula; LAPACK dlaed3).  Guarantees eigenvector orthogonality to
     working precision even under heavy clustering.
 
     zhat_j^2 = prod_{k active, k != j} (lam_k - d_j)/(d_k - d_j) * (lam_j - d_j)
     with lam_k - d_j evaluated as (shift_k - d_j) + tau_k (no cancellation).
+    Evaluated per j-block (live memory O(block * m)).
     """
     m = poles_sec.shape[0]
     idx = jnp.arange(m)
-    A = (shift_val[:, None] - poles_sec[None, :]) + tau[:, None]   # lam_k - d_j
-    B = poles_sec[:, None] - poles_sec[None, :]                     # d_k - d_j
-    offdiag = idx[:, None] != idx[None, :]
-    use = active[:, None] & offdiag
-    B_safe = jnp.where(use, B, jnp.ones_like(B))
-    ratio = jnp.where(use, A / B_safe, jnp.ones_like(A))
-    prod = jnp.prod(ratio, axis=0)
-    lam_minus_d = (shift_val - poles_sec) + tau   # diag term: lam_j - d_j
-    z2 = prod * lam_minus_d
+
+    def j_block(js):
+        pj = poles_sec[js]
+        A = (shift_val[:, None] - pj[None, :]) + tau[:, None]   # lam_k - d_j
+        B = poles_sec[:, None] - pj[None, :]                     # d_k - d_j
+        offdiag = idx[:, None] != js[None, :]
+        use = active[:, None] & offdiag
+        B_safe = jnp.where(use, B, jnp.ones_like(B))
+        ratio = jnp.where(use, A / B_safe, jnp.ones_like(A))
+        prod = jnp.prod(ratio, axis=0)
+        lam_minus_d = (shift_val[js] - pj) + tau[js]   # diag: lam_j - d_j
+        return prod * lam_minus_d
+
+    z2 = map_slot_blocks(j_block, m, block)
     zhat = jnp.sign(zu) * jnp.sqrt(jnp.maximum(z2, 0.0))
     return jnp.where(active, zhat, jnp.zeros_like(zhat))
 
 
 def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
                     max_secular_iters: int, secular_tol_factor: float,
-                    use_gu_eisenstat: bool) -> MergeRep:
+                    use_gu_eisenstat: bool, block_size: int = 2048) -> MergeRep:
     """Solve one rank-one merge D + rho z z^T -> compact MergeRep.
 
     ``d``: (m,) child eigenvalues (any order; pads carry large sentinels and
@@ -273,19 +305,23 @@ def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
 
     tau, shift_idx, shift_val = _solve_roots(
         poles_sec, zu, rho_e, K, active, eps,
-        max_secular_iters, secular_tol_factor)
+        max_secular_iters, secular_tol_factor, block_size)
 
     zvec = zu
     if use_gu_eisenstat:
-        zvec = _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active)
+        zvec = _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active,
+                               block_size)
 
     # column norms N_i = ||zhat_j / (d_j - lam_i)||  (ref eigenvalues.c:257-289)
     # ratio-first: dif^2 can underflow on TPU's emulated f64 (f32 exponent
     # range, ~1e+-38) when a root sits ~1e-25 from its pole; z/dif stays
-    # representable (~1e13) while dif*dif does not.
-    dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]   # (i, j)
-    ratio = zvec[None, :] / dif
-    colnorm = jnp.sqrt(jnp.sum(ratio * ratio, axis=1))
+    # representable (~1e13) while dif*dif does not.  Per slot-block.
+    def norm_block(sl):
+        dif = (poles_sec[None, :] - shift_val[sl][:, None]) - tau[sl][:, None]
+        ratio = zvec[None, :] / dif
+        return jnp.sqrt(jnp.sum(ratio * ratio, axis=1))
+
+    colnorm = map_slot_blocks(norm_block, m, block_size)
     colnorm = jnp.where(active & (colnorm > 0), colnorm, jnp.ones_like(colnorm))
 
     lam_slot = jnp.where(active, shift_val + tau, da)
