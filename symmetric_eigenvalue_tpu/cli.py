@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace to this directory")
     p.add_argument("--f32", action="store_true",
                    help="solve in float32 (faster, ~1e-5 residuals)")
+    # multi-host bootstrap (analog of the reference's mpd.hosts / mpirun -f,
+    # Makefile:37): DCN-connected slices via jax.distributed
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address for multi-host execution")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -85,6 +91,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     # Heavy imports after arg validation (fast ``-h``).
     import jax
     import jax.numpy as jnp
+
+    if args.coordinator or args.num_processes:
+        from .dist.mesh import distributed_init
+        distributed_init(args.coordinator, args.num_processes, args.process_id)
 
     from . import SolverConfig
     from .core.tridiag import (create_matrix_scheme1, create_matrix_scheme2,
