@@ -22,8 +22,29 @@ import time
 N = int(os.environ.get("BENCH_N", "16384"))
 SEED = int(os.environ.get("BENCH_SEED", "0"))
 REPS = int(os.environ.get("BENCH_REPS", "3"))
+# BASELINE.md configs: random (headline), clustered (n=4096 deflation stress),
+# poisson (scheme 2, analytic-spectrum check)
+MATRIX = os.environ.get("BENCH_MATRIX", "random")
+VECTORS = os.environ.get("BENCH_VECTORS", "1") != "0"
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_BASELINE_CACHE.json")
+
+
+def make_matrix(n, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    if MATRIX == "random":
+        return rng.standard_normal(n) * 5.0, rng.standard_normal(n - 1) * 2.0
+    if MATRIX == "clustered":
+        # tight eigenvalue clusters -> heavy deflation in every merge
+        centers = rng.standard_normal(max(n // 64, 1)) * 10
+        d = np.repeat(centers, 64)[:n]
+        d = d + 1e-9 * rng.standard_normal(n)
+        e = 1e-7 * (1.0 + rng.random(n - 1))
+        return d, e
+    if MATRIX == "poisson":
+        return 2.0 * np.ones(n), -np.ones(n - 1)
+    raise SystemExit(f"unknown BENCH_MATRIX={MATRIX}")
 
 
 def log(*a):
@@ -31,7 +52,7 @@ def log(*a):
 
 
 def baseline_seconds(d, e):
-    key = f"stevd_n{N}_seed{SEED}"
+    key = f"stevd_n{N}_seed{SEED}_{MATRIX}" + ("" if VECTORS else "_novec")
     cache = {}
     if os.path.exists(CACHE_PATH):
         try:
@@ -46,7 +67,10 @@ def baseline_seconds(d, e):
     from scipy.linalg import eigh_tridiagonal
     log("running LAPACK dstevd baseline on host CPU ...")
     t0 = time.perf_counter()
-    w, v = eigh_tridiagonal(d, e, lapack_driver="stevd")
+    if VECTORS:
+        w, _ = eigh_tridiagonal(d, e, lapack_driver="stevd")
+    else:
+        w = eigh_tridiagonal(d, e, eigvals_only=True, lapack_driver="stev")
     dt = time.perf_counter() - t0
     log(f"baseline dstevd: {dt:.2f}s  (lam[0]={w[0]:.6g})")
     cache[key] = dt
@@ -61,9 +85,7 @@ def baseline_seconds(d, e):
 def main():
     import numpy as np
 
-    rng = np.random.default_rng(SEED)
-    d_np = rng.standard_normal(N) * 5.0
-    e_np = rng.standard_normal(N - 1) * 2.0
+    d_np, e_np = make_matrix(N, SEED)
 
     base_s = baseline_seconds(d_np, e_np)
 
@@ -93,7 +115,7 @@ def main():
 
     from symmetric_eigenvalue_tpu.utils.timing import sync
 
-    fn = jax.jit(lambda d, e: _solve(d, e, None, plan, cfg, True, None))
+    fn = jax.jit(lambda d, e: _solve(d, e, None, plan, cfg, VECTORS, None))
     t0 = time.perf_counter()
     lam, V = sync(fn(d, e))
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
@@ -107,15 +129,24 @@ def main():
     log(f"runs: {[f'{t:.2f}' for t in times]}")
 
     # accuracy self-check on device (ref filehandling.c:511-537)
-    res = jax.jit(lambda d, e, lam, V: jnp.max(residual_norms(d, e, lam, V)))(
-        d, e, lam, V)
-    res = float(res)
     norm_t = float(np.abs(d_np).max() + 2 * np.abs(e_np).max())
-    rel = res / norm_t
-    log(f"max residual: {res:.3e}  (= {rel:.3e} * ||T||)")
+    if VECTORS:
+        res = float(jax.jit(
+            lambda d, e, lam, V: jnp.max(residual_norms(d, e, lam, V)))(
+                d, e, lam, V))
+        rel = res / norm_t
+        log(f"max residual: {res:.3e}  (= {rel:.3e} * ||T||)")
+    else:
+        from scipy.linalg import eigh_tridiagonal
+        wref = eigh_tridiagonal(d_np, e_np, eigvals_only=True,
+                                lapack_driver="stev")
+        rel = float(np.abs(np.asarray(lam) - wref).max()) / norm_t
+        log(f"max |dlam|/||T||: {rel:.3e}")
 
+    what = "eigenpairs" if VECTORS else "eigenvalues"
+    mat = "" if MATRIX == "random" else f"_{MATRIX}"
     out = {
-        "metric": f"wallclock_full_eigenpairs_n{N}",
+        "metric": f"wallclock_full_{what}_n{N}{mat}",
         "value": round(ours, 4),
         "unit": "s",
         "vs_baseline": round(base_s / ours, 3),

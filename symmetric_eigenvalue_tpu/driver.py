@@ -31,7 +31,8 @@ from .core.tridiag import residual_norms
 from .dist.mesh import batch_mapped as _batch_mapped
 from .dist.mesh import replicated as _replicated
 from .dist.mesh import shard
-from .kernels.assemble import apply_u, assemble_u, rows_through_merge
+from .kernels.assemble import (apply_u, apply_u_level, assemble_u,
+                               rows_through_merge)
 from .kernels.leaf import leaf_blocks, leaf_eigh_fn, solve_leaves
 from .kernels.secular import merge_decompose
 
@@ -139,7 +140,7 @@ def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None, block=2048):
         k, m = lv.num_merges, lv.merge_size
         X = X.reshape(k, m, C)
         X = _batch_mapped(
-            jax.vmap(lambda rep, Xb: apply_u(rep, Xb, block=block)),
+            functools.partial(apply_u_level, block=block),
             mesh, k)(reps[li], X)
         X = X.reshape(k * m, C)
         X = shard(X, mesh, 1)

@@ -92,15 +92,8 @@ def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None,
     return u[inv_rows]
 
 
-def apply_u(rep: MergeRep, X, block: int = 2048):
-    """Y = U @ X without materializing U  (the downsweep workhorse).
-
-    ``X``: (m, C), rows indexed by this merge's ascending-eigenvalue order.
-    Returns (m, C) with rows in the original (concat-of-children) order.
-    U factorizes as  P_row^-1 R [[Ua, 0], [0, I]] P_col, so:
-      Xs = P_col X;  Y0 = M Xs + (inactive-row passthrough);  rotations on rows;
-      un-permute rows.  M row blocks are generated on the fly and hit the MXU.
-    """
+def _apply_u_matmul(rep: MergeRep, X, block: int):
+    """Phase A of apply_u: Y0 = [[Ua, 0],[0, I]] P_col X (partitioned rows)."""
     m = rep.poles.shape[0]
     inv_col = jnp.argsort(rep.colperm)
     Xs = X[inv_col]
@@ -116,10 +109,37 @@ def apply_u(rep: MergeRep, X, block: int = 2048):
         passthrough = (rows >= rep.K)[:, None]
         return yb + jnp.where(passthrough, Xs[rows], jnp.zeros_like(yb))
 
-    y = map_slot_blocks(row_block, m, block)
+    return map_slot_blocks(row_block, m, block)
+
+
+def _apply_u_finish(rep: MergeRep, y):
+    """Phase B: inverse-rotation replay on rows + un-permute to original order."""
     y = _replay_rotations_rows(rep, y)
-    inv_rows = jnp.argsort(rep.p12)
-    return y[inv_rows]
+    return y[jnp.argsort(rep.p12)]
+
+
+def apply_u(rep: MergeRep, X, block: int = 2048):
+    """Y = U @ X without materializing U  (the downsweep workhorse).
+
+    ``X``: (m, C), rows indexed by this merge's ascending-eigenvalue order.
+    Returns (m, C) with rows in the original (concat-of-children) order.
+    U factorizes as  P_row^-1 R [[Ua, 0], [0, I]] P_col, so:
+      Xs = P_col X;  Y0 = M Xs + (inactive-row passthrough);  rotations on rows;
+      un-permute rows.  M row blocks are generated on the fly and hit the MXU.
+    """
+    return _apply_u_finish(rep, _apply_u_matmul(rep, X, block))
+
+
+def apply_u_level(reps, X, block: int = 2048):
+    """Batched apply_u over one tree level: reps (k-stacked), X (k, m, C).
+
+    The matmul phase is vmapped; the rotation replay runs under lax.map
+    (sequential over merges) because vmapping its dynamic row updates turns
+    them into scatters whose per-op VMEM footprint blows the 16 MB limit for
+    wide C.  Total replay cost stays proportional to the actual rotation count.
+    """
+    y0 = jax.vmap(lambda r, Xb: _apply_u_matmul(r, Xb, block))(reps, X)
+    return lax.map(lambda args: _apply_u_finish(*args), (reps, y0))
 
 
 def rows_through_merge(rep: MergeRep, w, block: int = 2048):
