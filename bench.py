@@ -103,7 +103,7 @@ def main():
     import symmetric_eigenvalue_tpu as se
     from symmetric_eigenvalue_tpu.core.tree import build_plan
     from symmetric_eigenvalue_tpu.core.tridiag import residual_norms
-    from symmetric_eigenvalue_tpu.driver import _solve
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
 
     log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}  n={N}")
     cfg = se.SolverConfig()
@@ -115,16 +115,24 @@ def main():
 
     from symmetric_eigenvalue_tpu.utils.timing import sync
 
-    fn = jax.jit(lambda d, e: _solve(d, e, None, plan, cfg, VECTORS, None))
+    def run():
+        res, timer = solve_tridiagonal_staged(
+            d, e, config=cfg, compute_vectors=VECTORS)
+        sync(res)
+        return res, timer
+
     t0 = time.perf_counter()
-    lam, V = sync(fn(d, e))
+    res, timer = run()
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        lam, V = sync(fn(d, e))
+        res, timer = run()
         times.append(time.perf_counter() - t0)
+        log("  phases: " + ", ".join(f"{k}={v:.2f}s"
+                                     for k, v in timer.times.items()))
+    lam, V = res.eigenvalues, res.eigenvectors
     ours = min(times)
     log(f"runs: {[f'{t:.2f}' for t in times]}")
 

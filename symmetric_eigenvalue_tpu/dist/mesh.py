@@ -72,6 +72,24 @@ def batch_mapped(vfn, mesh: Optional[Mesh], batch: int):
                          check_vma=False)
 
 
+def last_axis_sharded(fn, mesh: Mesh, in_ndims, out_ndim: int):
+    """shard_map ``fn`` with each positional arg's *last* axis sharded over the
+    mesh (None in ``in_ndims`` = replicated arg), used for the column-sharded
+    downsweep: the eigenvector block's columns live one shard per device, so
+    every level's U application is embarrassingly parallel with zero
+    collectives — the TPU answer to the reference's row-at-a-time
+    backtransformation pipeline."""
+
+    def spec(nd):
+        if nd is None:
+            return P()
+        return P(*([None] * (nd - 1) + [AXIS]))
+
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=tuple(spec(nd) for nd in in_ndims),
+                         out_specs=spec(out_ndim), check_vma=False)
+
+
 def replicated(fn, mesh: Optional[Mesh]):
     """Run ``fn`` fully replicated under shard_map (identical on all devices)."""
     if mesh is None:

@@ -34,7 +34,7 @@ from .dist.mesh import shard
 from .kernels.assemble import (apply_u, apply_u_level, assemble_u,
                                rows_through_merge)
 from .kernels.leaf import leaf_blocks, leaf_eigh_fn, solve_leaves
-from .kernels.secular import merge_decompose
+from .kernels.secular import merge_decompose, merge_partition, merge_roots
 
 
 class EighTridiagonalResult(NamedTuple):
@@ -106,7 +106,29 @@ def _upsweep(d, e, plan: TreePlan, config: SolverConfig, mesh=None):
         # z = [last row of W_left ; first row of W_right / theta]  (helper.c:36-50)
         z = jnp.concatenate([l2[:, 0, :], f2[:, 1, :] / theta[:, None]], axis=1)
         rho = beta * theta          # = |beta| >= 0 by construction
-        rep = _batch_mapped(jax.vmap(merge_fn), mesh, k)(dm, z, rho)
+        ndev = mesh.devices.size if mesh is not None else 1
+        if mesh is not None and (k < ndev or k % ndev != 0):
+            # wide top-of-tree merges: deflation/partition replicates (O(m),
+            # inherently sequential rotation chain) but the O(m^2) root finding
+            # is sharded over slots so every chip solves its share of roots
+            mk = _merge_kwargs(config)
+            part_fn = functools.partial(
+                merge_partition, eps=mk["eps"],
+                deflation_factor=mk["deflation_factor"])
+            roots_kw = dict(eps=mk["eps"],
+                            max_secular_iters=mk["max_secular_iters"],
+                            secular_tol_factor=mk["secular_tol_factor"],
+                            use_gu_eisenstat=mk["use_gu_eisenstat"],
+                            block_size=mk["block_size"])
+            parts = _replicated(jax.vmap(part_fn), mesh)(dm, z, rho)
+            rep_list = [
+                merge_roots(jax.tree.map(lambda a: a[i], parts),
+                            slot_mesh=mesh, **roots_kw)
+                for i in range(k)
+            ]
+            rep = jax.tree.map(lambda *xs: jnp.stack(xs), *rep_list)
+        else:
+            rep = _batch_mapped(jax.vmap(merge_fn), mesh, k)(dm, z, rho)
         if li < L - 1:
             # propagate the subtree's first/last actual boundary rows
             zero = jnp.zeros((k, h), dt)
@@ -128,24 +150,37 @@ def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None, block=2048):
 
     Each level applies BD(U_level) via ``apply_u`` — U row blocks are
     rematerialized on the fly and immediately matmul'd, so no (k, m, m) stack
-    is ever stored.
+    is ever stored.  With a mesh, the whole sweep is *column-sharded*: each
+    device owns C/ndev eigenvector columns end-to-end (zero collectives; the
+    per-level reps are O(n) and replicate cheaply).
     """
+    from .dist.mesh import last_axis_sharded
+
     L = plan.num_levels
     top = jax.tree.map(lambda a: a[0], reps[-1])
-    X = assemble_u(top, cols=sel, block=block)        # (npad, C)
-    C = X.shape[1]
-    X = shard(X, mesh, 1)
+    C = int(sel.shape[0])
+    ndev = mesh.devices.size if mesh is not None else 1
+    colshard = mesh is not None and C % ndev == 0 and C >= ndev
+
+    def wrap(fn, in_ndims, out_ndim):
+        if colshard:
+            return last_axis_sharded(fn, mesh, in_ndims, out_ndim)
+        if mesh is not None:
+            return _replicated(fn, mesh)
+        return fn
+
+    X = wrap(lambda t, s: assemble_u(t, cols=s, block=block),
+             (None, 1), 2)(top, sel)                  # (npad, C)
     for li in range(L - 2, -1, -1):
         lv = plan.levels[li]
         k, m = lv.num_merges, lv.merge_size
         X = X.reshape(k, m, C)
-        X = _batch_mapped(
-            functools.partial(apply_u_level, block=block),
-            mesh, k)(reps[li], X)
+        X = wrap(functools.partial(apply_u_level, block=block),
+                 (None, 3), 3)(reps[li], X)
         X = X.reshape(k * m, C)
-        X = shard(X, mesh, 1)
     X = X.reshape(plan.num_leaves, plan.leaf_pad, C)
-    X = jnp.einsum("kij,kjc->kic", Q_leaf, X)
+    X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic", Q, Xb),
+             (None, 3), 3)(Q_leaf, X)
     X = X.reshape(plan.padded_n, C)
     return X[jnp.asarray(plan.row_map())]             # drop pad rows -> (n, C)
 
@@ -256,6 +291,72 @@ def _compiled_upsweep(n: int, config: SolverConfig, mesh_id):
     return fn, plan, False
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
+                              mesh_id):
+    """Per-level jitted downsweep stages with X-buffer donation.
+
+    One dispatch per tree level keeps only X_in/X_out (+ block scratch) live —
+    the whole-solve single jit at n=16384 f64 peaks ~28 GB of HLO temps
+    (several 2.1 GB eigenvector blocks co-scheduled plus reshape copies),
+    while the stepped sweep stays within ~5 GB.
+    """
+    from .dist.mesh import last_axis_sharded
+
+    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
+    mesh = mesh_id[1] if mesh_id is not None else None
+    block = config.block_size
+    ndev = mesh.devices.size if mesh is not None else 1
+    colshard = mesh is not None and ncols % ndev == 0 and ncols >= ndev
+
+    def wrap(fn, in_ndims, out_ndim):
+        if colshard:
+            return last_axis_sharded(fn, mesh, in_ndims, out_ndim)
+        if mesh is not None:
+            return _replicated(fn, mesh)
+        return fn
+
+    root_fn = jax.jit(wrap(
+        lambda t, s: assemble_u(t, cols=s, block=block), (None, 1), 2))
+
+    level_fns = []
+    for li in range(plan.num_levels - 1):
+        lv = plan.levels[li]
+        k, m = lv.num_merges, lv.merge_size
+
+        def make(k=k, m=m):
+            def step(rep, X):
+                X = X.reshape(k, m, ncols)
+                X = wrap(functools.partial(apply_u_level, block=block),
+                         (None, 3), 3)(rep, X)
+                return X.reshape(k * m, ncols)
+            return jax.jit(step, donate_argnums=(1,))
+        level_fns.append(make())
+
+    def leaf_step(Q, X):
+        X = X.reshape(plan.num_leaves, plan.leaf_pad, ncols)
+        X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic", Q, Xb),
+                 (None, 3), 3)(Q, X)
+        X = X.reshape(plan.padded_n, ncols)
+        return X[jnp.asarray(plan.row_map())]
+
+    leaf_fn = jax.jit(leaf_step, donate_argnums=(1,))
+    return plan, root_fn, level_fns, leaf_fn
+
+
+def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
+                      mesh=None):
+    """Run the downsweep as one dispatch per level (memory-bounded)."""
+    mesh_key = (id(mesh), mesh) if mesh is not None else None
+    plan, root_fn, level_fns, leaf_fn = _compiled_downsweep_steps(
+        n, config, int(sel.shape[0]), mesh_key)
+    top = jax.tree.map(lambda a: a[0], reps[-1])
+    X = root_fn(top, sel)
+    for li in range(plan.num_levels - 2, -1, -1):
+        X = level_fns[li](reps[li], X)
+    return leaf_fn(Q_leaf, X)
+
+
 def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
                              compute_vectors: bool = False, select=None,
                              mesh=None, timer=None):
@@ -300,10 +401,7 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
             if leaf_only:
                 V = Q[0][:, :n][:, sel]
             else:
-                down = jax.jit(
-                    lambda reps, Q, sel: _downsweep(
-                        reps, Q, plan, sel, mesh, block=config.block_size))
-                V = down(reps, Q, sel)
+                V = downsweep_stepped(reps, Q, n, config, sel, mesh)
             V = _sync(V)
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer
 

@@ -56,7 +56,7 @@ class MergeRep(NamedTuple):
     lam_sorted: jnp.ndarray  # (m,) eigenvalues ascending (pads/sentinels last)
 
 
-def map_slot_blocks(fn, m: int, block: int):
+def map_slot_blocks(fn, m: int, block: int, mesh=None):
     """Run ``fn(slot_indices)`` over contiguous blocks of [0, m) and concatenate.
 
     Bounds live memory to O(block * m) in the O(m^2) phases (root finding, z
@@ -64,19 +64,40 @@ def map_slot_blocks(fn, m: int, block: int):
     intermediate is 2.1 GB and several of them OOM a 16 GB chip; blocks of 2048
     keep the peak at ~270 MB per buffer while staying wide enough for the VPU.
     ``fn`` returns arrays with leading dim |block|; blocks run under lax.map.
+
+    With ``mesh``, the slot range is first sharded over devices (shard_map, no
+    collectives — fn's closed-over O(m) state is replicated) and each device
+    lax.maps over its local blocks: this is how the wide top-of-tree merges
+    use the whole mesh.
     """
-    B = m
-    while B > block and B % 2 == 0:
-        B //= 2
-    B = max(1, min(B, m))
-    nblk = m // B
     i32 = jnp.int32
-    if nblk == 1:
-        return fn(jnp.arange(m, dtype=i32))
-    out = lax.map(lambda bi: fn(bi * B + jnp.arange(B, dtype=i32)),
-                  jnp.arange(nblk, dtype=i32))
-    return jax.tree.map(
-        lambda a: a.reshape((nblk * B,) + a.shape[2:]), out)
+
+    def chunked(slots):
+        ms = slots.shape[0]
+        B = ms
+        while B > block and B % 2 == 0:
+            B //= 2
+        B = max(1, min(B, ms))
+        nblk = ms // B
+        if nblk == 1:
+            return fn(slots)
+        out = lax.map(lambda bi: fn(lax.dynamic_slice(slots, (bi * B,), (B,))),
+                      jnp.arange(nblk, dtype=i32))
+        return jax.tree.map(
+            lambda a: a.reshape((nblk * B,) + a.shape[2:]), out)
+
+    if mesh is not None:
+        ndev = mesh.devices.size
+        if m % ndev == 0 and m >= ndev:
+            from jax.sharding import PartitionSpec as _P
+
+            from ..dist.mesh import AXIS as _AXIS
+            spec = _P(_AXIS)
+            sharded = jax.shard_map(chunked, mesh=mesh, in_specs=spec,
+                                    out_specs=spec, check_vma=False)
+            return sharded(jnp.arange(m, dtype=i32))
+
+    return chunked(jnp.arange(m, dtype=i32))
 
 
 def _deflation_scan(ds, zs, defl0, tol):
@@ -126,7 +147,7 @@ def _deflation_scan(ds, zs, defl0, tol):
 
 
 def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
-                 block):
+                 block, mesh=None):
     """Vectorized safeguarded Newton on the shifted secular equation.
 
     For active slot i (rho_e > 0): root_i lies in (d_i, d_{i+1}) (interlacing), or
@@ -216,13 +237,12 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
 
         state0 = (tau0, lo, hi, ~active[sl], jnp.int32(0))
         tau, _, _, _, _ = lax.while_loop(cond, body, state0)
-        return tau, shift_idx.astype(jnp.int32)
+        return tau, shift_idx.astype(jnp.int32), shift_val
 
-    tau, shift_idx = map_slot_blocks(solve_block, m, block)
-    return tau, shift_idx, poles_sec[shift_idx]
+    return map_slot_blocks(solve_block, m, block, mesh=mesh)
 
 
-def _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active, block):
+def _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active, block, mesh=None):
     """Recompute z so computed lambdas are *exact* eigenvalues of the model
     (Lowner formula; LAPACK dlaed3).  Guarantees eigenvector orthogonality to
     working precision even under heavy clustering.
@@ -246,7 +266,7 @@ def _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active, block):
         lam_minus_d = (shift_val[js] - pj) + tau[js]   # diag: lam_j - d_j
         return prod * lam_minus_d
 
-    z2 = map_slot_blocks(j_block, m, block)
+    z2 = map_slot_blocks(j_block, m, block, mesh=mesh)
     zhat = jnp.sign(zu) * jnp.sqrt(jnp.maximum(z2, 0.0))
     return jnp.where(active, zhat, jnp.zeros_like(zhat))
 
@@ -259,6 +279,38 @@ def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
     ``d``: (m,) child eigenvalues (any order; pads carry large sentinels and
     exactly/near-zero z).  ``z``: (m,).  ``rho``: () >= 0.
     """
+    part = merge_partition(d, z, rho, eps=eps,
+                           deflation_factor=deflation_factor)
+    return merge_roots(part, eps=eps,
+                       max_secular_iters=max_secular_iters,
+                       secular_tol_factor=secular_tol_factor,
+                       use_gu_eisenstat=use_gu_eisenstat,
+                       block_size=block_size)
+
+
+class MergePartition(NamedTuple):
+    """Sort/deflation/partition state (stage 1 of a merge): O(m) data only.
+
+    Splitting here lets the O(m^2) root-finding stage run sharded over slots
+    across devices for the wide top-of-tree merges (stage 1 is O(m log m) and
+    inherently sequential in the rotation chain, so it replicates)."""
+
+    poles: jnp.ndarray
+    poles_sec: jnp.ndarray
+    zu: jnp.ndarray
+    rho_e: jnp.ndarray
+    K: jnp.ndarray
+    p12: jnp.ndarray
+    rot_a: jnp.ndarray
+    rot_b: jnp.ndarray
+    rot_c: jnp.ndarray
+    rot_s: jnp.ndarray
+    nrot: jnp.ndarray
+
+
+def merge_partition(d, z, rho, *, eps: float,
+                    deflation_factor: float) -> MergePartition:
+    """Stage 1: sort, z-deflation, Givens deflation, stable partition."""
     m = d.shape[0]
     dt = d.dtype
     i32 = jnp.int32
@@ -303,14 +355,36 @@ def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
     sent_step = 1e-3 * scale + 1e-3
     poles_sec = jnp.where(active, da, sent_base + idx.astype(dt) * sent_step)
 
+    return MergePartition(poles=da, poles_sec=poles_sec, zu=zu,
+                          rho_e=rho_e, K=K, p12=p12,
+                          rot_a=ra_p, rot_b=rb_p, rot_c=rc, rot_s=rs,
+                          nrot=nrot.astype(i32))
+
+
+def merge_roots(part: MergePartition, *, eps: float, max_secular_iters: int,
+                secular_tol_factor: float, use_gu_eisenstat: bool,
+                block_size: int = 2048, slot_mesh=None) -> MergeRep:
+    """Stage 2: the O(m^2) slot-parallel work — root finding, Gu-Eisenstat z,
+    column norms.  With ``slot_mesh`` the slot blocks are sharded over devices
+    (the reference's unexploited parallelism: non-owner ranks return early at
+    eigenvalues.c:63-66; here every chip solves its own share of the roots)."""
+    da = part.poles
+    poles_sec = part.poles_sec
+    zu = part.zu
+    rho_e = part.rho_e
+    K = part.K
+    m = da.shape[0]
+    i32 = jnp.int32
+    active = jnp.arange(m, dtype=i32) < K
+
     tau, shift_idx, shift_val = _solve_roots(
         poles_sec, zu, rho_e, K, active, eps,
-        max_secular_iters, secular_tol_factor, block_size)
+        max_secular_iters, secular_tol_factor, block_size, mesh=slot_mesh)
 
     zvec = zu
     if use_gu_eisenstat:
         zvec = _gu_eisenstat_z(poles_sec, zu, tau, shift_val, active,
-                               block_size)
+                               block_size, mesh=slot_mesh)
 
     # column norms N_i = ||zhat_j / (d_j - lam_i)||  (ref eigenvalues.c:257-289)
     # ratio-first: dif^2 can underflow on TPU's emulated f64 (f32 exponent
@@ -321,16 +395,24 @@ def merge_decompose(d, z, rho, *, eps: float, deflation_factor: float,
         ratio = zvec[None, :] / dif
         return jnp.sqrt(jnp.sum(ratio * ratio, axis=1))
 
-    colnorm = map_slot_blocks(norm_block, m, block_size)
+    colnorm = map_slot_blocks(norm_block, m, block_size, mesh=slot_mesh)
     colnorm = jnp.where(active & (colnorm > 0), colnorm, jnp.ones_like(colnorm))
 
-    lam_slot = jnp.where(active, shift_val + tau, da)
-    colperm = jnp.argsort(lam_slot, stable=True).astype(i32)
-    lam_sorted = lam_slot[colperm]
+    def _tail(shift_val, tau, da):
+        lam_slot = jnp.where(active, shift_val + tau, da)
+        colperm = jnp.argsort(lam_slot, stable=True).astype(i32)
+        return colperm, lam_slot[colperm]
+
+    if slot_mesh is not None:
+        from ..dist.mesh import replicated as _repl
+        colperm, lam_sorted = _repl(_tail, slot_mesh)(shift_val, tau, da)
+    else:
+        colperm, lam_sorted = _tail(shift_val, tau, da)
 
     return MergeRep(poles=da, poles_sec=poles_sec, zhat=zvec,
                     rho=rho_e, tau=tau, shift_idx=shift_idx.astype(i32),
-                    colnorm=colnorm, K=K, p12=p12,
-                    rot_a=ra_p, rot_b=rb_p, rot_c=rc, rot_s=rs,
-                    nrot=nrot.astype(i32), colperm=colperm,
+                    colnorm=colnorm, K=K, p12=part.p12,
+                    rot_a=part.rot_a, rot_b=part.rot_b,
+                    rot_c=part.rot_c, rot_s=part.rot_s,
+                    nrot=part.nrot, colperm=colperm,
                     lam_sorted=lam_sorted)
