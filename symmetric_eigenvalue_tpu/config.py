@@ -74,16 +74,11 @@ class SolverConfig:
         return default_unit_roundoff(self.dtype)
 
     def resolved_leaf_size(self) -> int:
-        """Auto leaf size: XLA's batched ``eigh`` is accurate (LAPACK) on CPU but
-        only ~1e-7-residual on TPU's emulated f64, so TPU recurses down to the
-        exact analytic 2x2 base case instead."""
+        """Auto leaf size: 32 everywhere — LAPACK-backed batched eigh on
+        CPU/GPU, batched cyclic Jacobi on TPU (XLA's own eigh is only
+        ~1e-7-residual under TPU's emulated f64; see kernels/leaf.py)."""
         if self.leaf_size is not None:
             return self.leaf_size
-        try:
-            if jax.default_backend() == "tpu":
-                return 2
-        except Exception:
-            pass
         return 32
 
     def __hash__(self):

@@ -102,11 +102,23 @@ def eigh1x1(A):
 
 
 def leaf_eigh_fn(leaf_pad: int):
-    """Pick the batched leaf eigensolver for a given padded leaf size."""
+    """Pick the batched leaf eigensolver for a given padded leaf size.
+
+    b=1/2: exact closed forms.  b>2 on TPU: batched cyclic Jacobi
+    (kernels/jacobi.py) — XLA's eigh only reaches ~1e-7 residuals under
+    emulated f64 there.  Elsewhere (CPU/GPU): LAPACK-backed jnp.linalg.eigh.
+    """
     if leaf_pad == 1:
         return eigh1x1
     if leaf_pad == 2:
         return eigh2x2
+    try:
+        import jax
+        if jax.default_backend() == "tpu":
+            from .jacobi import jacobi_eigh
+            return jacobi_eigh
+    except Exception:
+        pass
     return jnp.linalg.eigh
 
 
