@@ -67,6 +67,7 @@ class SolverConfig:
     secular_tol_factor: float = 8.0
     use_gu_eisenstat: bool = True
     block_size: int = 2048
+    vec_chunk: int = 4096
 
     def eps(self) -> float:
         if self.unit_roundoff is not None:
@@ -85,7 +86,7 @@ class SolverConfig:
         return hash((self.leaf_size, self.max_leaves, str(self.dtype),
                      self.unit_roundoff, self.deflation_factor,
                      self.max_secular_iters, self.secular_tol_factor,
-                     self.use_gu_eisenstat, self.block_size))
+                     self.use_gu_eisenstat, self.block_size, self.vec_chunk))
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -346,15 +346,27 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
 
 def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
                       mesh=None):
-    """Run the downsweep as one dispatch per level (memory-bounded)."""
+    """Run the downsweep as one dispatch per level, and — since eigenvector
+    columns are completely independent — in column chunks of
+    ``config.vec_chunk``: XLA's emulated-f64 dot allocates ~4x the output in
+    f32 temporaries, so bounding C bounds the peak well under HBM."""
     mesh_key = (id(mesh), mesh) if mesh is not None else None
-    plan, root_fn, level_fns, leaf_fn = _compiled_downsweep_steps(
-        n, config, int(sel.shape[0]), mesh_key)
     top = jax.tree.map(lambda a: a[0], reps[-1])
-    X = root_fn(top, sel)
-    for li in range(plan.num_levels - 2, -1, -1):
-        X = level_fns[li](reps[li], X)
-    return leaf_fn(Q_leaf, X)
+
+    def run_chunk(sel_chunk):
+        plan, root_fn, level_fns, leaf_fn = _compiled_downsweep_steps(
+            n, config, int(sel_chunk.shape[0]), mesh_key)
+        X = root_fn(top, sel_chunk)
+        for li in range(plan.num_levels - 2, -1, -1):
+            X = level_fns[li](reps[li], X)
+        return leaf_fn(Q_leaf, X)
+
+    C = int(sel.shape[0])
+    chunk = max(1, config.vec_chunk)
+    if C <= chunk:
+        return run_chunk(sel)
+    parts = [run_chunk(sel[o:o + chunk]) for o in range(0, C, chunk)]
+    return jnp.concatenate(parts, axis=1)
 
 
 def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
