@@ -52,3 +52,22 @@ def test_mesh_smaller_than_leaves(rng):
                                  mesh=mesh)
     wref = np.linalg.eigvalsh(dense_from_tridiag(d, e))
     assert np.abs(np.asarray(lam) - wref).max() < 1e-12
+
+
+def test_staged_chunked_with_mesh(rng):
+    """Stepped downsweep + column chunking + mesh (slot-sharded top merges)."""
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+
+    n = 96
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    cfg = se.SolverConfig(leaf_size=8, vec_chunk=32)
+    mesh = make_mesh()
+    res, _ = solve_tridiagonal_staged(d, e, config=cfg, compute_vectors=True,
+                                      mesh=mesh)
+    T = dense_from_tridiag(d, e)
+    lam = np.asarray(res.eigenvalues)
+    V = np.asarray(res.eigenvectors)
+    nT = np.abs(lam).max()
+    assert np.abs(T @ V - V * lam[None, :]).max() < 1e-12 * nT
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-12
