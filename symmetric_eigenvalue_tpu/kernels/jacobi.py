@@ -56,8 +56,12 @@ def jacobi_eigh(A, max_sweeps: int = 30, tol_factor: float = 1e-14):
         aqq = A[:, j, j]
         apq = A[:, i, j]
         # classic stable rotation: t = sign(theta)/(|theta| + sqrt(theta^2+1))
-        do = jnp.abs(apq) > 0.0
+        # skip negligible pivots: they contribute < tol to the residual, and a
+        # denormal apq would overflow theta^2 past the f32 exponent range of
+        # TPU-emulated f64 (overflow renormalizes to NaN there, not inf)
+        do = jnp.abs(apq) > tol * (0.1 / (b * b))
         theta = (aqq - app) / (2.0 * jnp.where(do, apq, 1.0))
+        theta = jnp.clip(theta, -1e15, 1e15)
         t = jnp.sign(theta) / (jnp.abs(theta) + jnp.sqrt(theta * theta + 1.0))
         t = jnp.where(theta == 0, jnp.ones_like(t), t)   # sign(0)=0 guard
         c = 1.0 / jnp.sqrt(t * t + 1.0)
