@@ -68,6 +68,12 @@ class SolverConfig:
     use_gu_eisenstat: bool = True
     block_size: int = 2048
     vec_chunk: int = 4096
+    # mixed precision: run the downsweep's big matmuls in float32 (full MXU
+    # rate, ~8x the emulated-f64 dot) and restore working-precision residuals
+    # with one f64 inverse-iteration pass + cluster re-orthonormalization
+    # (kernels/refine.py).  Staged/CLI path only.
+    mixed_precision_vectors: bool = False
+    refine_steps: int = 1
 
     def eps(self) -> float:
         if self.unit_roundoff is not None:
@@ -86,7 +92,8 @@ class SolverConfig:
         return hash((self.leaf_size, self.max_leaves, str(self.dtype),
                      self.unit_roundoff, self.deflation_factor,
                      self.max_secular_iters, self.secular_tol_factor,
-                     self.use_gu_eisenstat, self.block_size, self.vec_chunk))
+                     self.use_gu_eisenstat, self.block_size, self.vec_chunk,
+                     self.mixed_precision_vectors, self.refine_steps))
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -316,8 +316,11 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
             return _replicated(fn, mesh)
         return fn
 
+    vec_dtype = jnp.float32 if config.mixed_precision_vectors else None
+
     root_fn = jax.jit(wrap(
-        lambda t, s: assemble_u(t, cols=s, block=block), (None, 1), 2))
+        lambda t, s: assemble_u(t, cols=s, block=block, dtype=vec_dtype),
+        (None, 1), 2))
 
     level_fns = []
     for li in range(plan.num_levels - 1):
@@ -335,13 +338,38 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
 
     def leaf_step(Q, X):
         X = X.reshape(plan.num_leaves, plan.leaf_pad, ncols)
-        X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic", Q, Xb),
+        X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic",
+                                          Q.astype(Xb.dtype), Xb),
                  (None, 3), 3)(Q, X)
         X = X.reshape(plan.padded_n, ncols)
         return X[jnp.asarray(plan.row_map())]
 
     leaf_fn = jax.jit(leaf_step, donate_argnums=(1,))
     return plan, root_fn, level_fns, leaf_fn
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_refine(n: int, ncols: int, config: SolverConfig):
+    from .kernels.refine import inverse_iteration
+
+    def fn(d, e, lam_sel, V):
+        return inverse_iteration(d, e, lam_sel, V,
+                                 steps=config.refine_steps)
+
+    return jax.jit(fn, donate_argnums=(3,))
+
+
+def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
+    """Mixed-precision epilogue: one f64 inverse-iteration pass restores
+    working-precision residuals from the f32 downsweep; clusters that inverse
+    iteration cannot separate are re-orthonormalized (dstein-style)."""
+    from .kernels.refine import orthonormalize_clusters
+
+    lam_sel = lam[sel]
+    fn = _compiled_refine(int(d.shape[0]), int(sel.shape[0]), config)
+    V = fn(d, e, lam_sel, V)
+    norm_t = float(jnp.max(jnp.abs(lam)))
+    return orthonormalize_clusters(np.asarray(lam_sel), V, norm_t)
 
 
 def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
@@ -414,6 +442,8 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
                 V = Q[0][:, :n][:, sel]
             else:
                 V = downsweep_stepped(reps, Q, n, config, sel, mesh)
+                if config.mixed_precision_vectors:
+                    V = _refine_vectors(d, e, lam, sel, V, config)
             V = _sync(V)
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer
 

@@ -40,8 +40,8 @@ def _replay_rotations_rows(rep: MergeRep, u):
         k = rep.nrot - 1 - i
         a = rep.rot_a[k]
         b = rep.rot_b[k]
-        c = rep.rot_c[k]
-        s = rep.rot_s[k]
+        c = rep.rot_c[k].astype(u.dtype)
+        s = rep.rot_s[k].astype(u.dtype)
         ua = u[a]
         ub = u[b]
         u = u.at[a].set(c * ua + s * ub)
@@ -58,8 +58,8 @@ def _replay_rotations_cols_t(rep: MergeRep, w):
     def body(k, w):
         a = rep.rot_a[k]
         b = rep.rot_b[k]
-        c = rep.rot_c[k]
-        s = rep.rot_s[k]
+        c = rep.rot_c[k].astype(w.dtype)
+        s = rep.rot_s[k].astype(w.dtype)
         wa = w[:, a]
         wb = w[:, b]
         w = w.at[:, a].set(c * wa - s * wb)
@@ -70,10 +70,12 @@ def _replay_rotations_cols_t(rep: MergeRep, w):
 
 
 def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None,
-               block: int = 2048):
+               block: int = 2048, dtype=None):
     """Materialize U columns.  ``cols``: indices into the ascending eigenvalue
     order (None = all m columns).  Returns (m, C) with rows in original order.
     Rows are produced in blocks of ``block`` to bound live memory.
+    ``dtype``: output dtype — entries are always *computed* at full precision
+    (near-pole denominators underflow f32) and cast per block.
     """
     m = rep.poles.shape[0]
     slots = rep.colperm if cols is None else rep.colperm[cols]
@@ -84,7 +86,8 @@ def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None,
         denom = _denom_block(rep, rows, slots)
         u = rep.zhat[rows][:, None] / denom / ncol[None, :]
         eye_cols = rows[:, None] == slots[None, :].astype(rows.dtype)
-        return jnp.where(act[None, :], u, eye_cols.astype(u.dtype))
+        u = jnp.where(act[None, :], u, eye_cols.astype(u.dtype))
+        return u.astype(dtype) if dtype is not None else u
 
     u = map_slot_blocks(row_block, m, block)
     u = _replay_rotations_rows(rep, u)
@@ -104,7 +107,9 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
     def row_block(rows):
         denom = _denom_block(rep, rows, slots)
         Mb = (rep.zhat[rows][:, None] / denom) * ncol_inv[None, :]
-        yb = Mb @ Xs
+        # mixed precision: U entries are computed in f64 (near-pole safety)
+        # and cast so the matmul runs at the MXU's native f32 rate
+        yb = Mb.astype(Xs.dtype) @ Xs
         # inactive columns are e_slot: identity passthrough on inactive rows
         passthrough = (rows >= rep.K)[:, None]
         return yb + jnp.where(passthrough, Xs[rows], jnp.zeros_like(yb))

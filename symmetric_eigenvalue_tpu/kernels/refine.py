@@ -1,0 +1,125 @@
+"""Eigenvector refinement: batched shifted tridiagonal solves (inverse iteration).
+
+Enables the mixed-precision pipeline: the downsweep's big matmuls run in f32
+(full MXU rate), then ONE f64 inverse-iteration step per eigenpair restores
+residuals to working precision — (T - lam_i I) y_i = v_i is a tridiagonal solve,
+O(n) per vector, all n vectors solved simultaneously as (K,)-wide lanes of two
+lax.scans (a partial-pivoting LU forward pass fused with the rhs, then back
+substitution).  This is the LAPACK ``dgttrf``/``dgttrs`` pair vectorized over
+shifts, plus dstein-style cluster re-orthonormalization handled by the driver.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def solve_shifted_tridiagonal(d, e, lam, B):
+    """Solve (T - lam_i I) x_i = B[:, i] for every i simultaneously.
+
+    d (n,), e (n-1,), lam (K,), B (n, K) -> X (n, K).
+    Partial pivoting between adjacent rows (safe for the near-singular systems
+    inverse iteration wants); exact-zero pivots are nudged by eps*||T||.
+    """
+    n = d.shape[0]
+    K = lam.shape[0]
+    dtype = B.dtype
+    if n == 1:
+        piv = d[0] - lam
+        piv = jnp.where(piv == 0, 1e-30, piv)
+        return B / piv[None, :]
+
+    scale = jnp.max(jnp.abs(d)) + 2.0 * jnp.max(jnp.abs(e))
+    tiny = jnp.asarray(2.0 ** -48, dtype) * jnp.maximum(scale, 1e-30)
+
+    e_ext = jnp.concatenate([e, jnp.zeros((1,), dtype)])
+
+    def fwd(carry, inp):
+        a, c, r = carry                   # current row: diag, super, rhs (K,)
+        sub, a0_next, c0_next, r_next = inp
+        swap = jnp.abs(sub) > jnp.abs(a)
+        piv = jnp.where(swap, sub, a)
+        piv = jnp.where(piv == 0, tiny, piv)
+        m = jnp.where(swap, a / piv, sub / piv)
+        # stored U row j and transformed rhs row j
+        ud = piv
+        u1 = jnp.where(swap, a0_next, c)
+        u2 = jnp.where(swap, c0_next, jnp.zeros_like(c))
+        r_j = jnp.where(swap, r_next, r)
+        # next carried row
+        a_new = jnp.where(swap, c - m * a0_next, a0_next - m * c)
+        c_new = jnp.where(swap, -m * c0_next, c0_next)
+        r_new = jnp.where(swap, r - m * r_next, r_next - m * r)
+        return (a_new, c_new, r_new), (ud, u1, u2, r_j)
+
+    a0 = d[0] - lam
+    c0 = jnp.broadcast_to(e_ext[0], (K,)).astype(dtype)
+    r0 = B[0]
+    subs = e                                   # (n-1,)
+    a_next = d[1:, None] - lam[None, :]        # (n-1, K)
+    c_next = jnp.broadcast_to(e_ext[1:, None], (n - 1, K)).astype(dtype)
+    r_next = B[1:]
+    (a_f, _, r_f), (ud, u1, u2, rr) = lax.scan(
+        fwd, (a0, c0, r0),
+        (subs, a_next, c_next, r_next))
+
+    a_f = jnp.where(a_f == 0, tiny, a_f)
+    x_last = r_f / a_f
+
+    # back substitution: x_j = (r_j - u1_j x_{j+1} - u2_j x_{j+2}) / ud_j
+    def bwd(carry, inp):
+        x1, x2 = carry
+        ud_j, u1_j, u2_j, r_j = inp
+        x = (r_j - u1_j * x1 - u2_j * x2) / ud_j
+        return (x, x1), x
+
+    (_, _), xs = lax.scan(bwd, (x_last, jnp.zeros_like(x_last)),
+                          (ud, u1, u2, rr), reverse=True)
+    return jnp.concatenate([xs, x_last[None, :]], axis=0)
+
+
+def inverse_iteration(d, e, lam, V, steps: int = 1):
+    """Refine eigenvector columns by ``steps`` inverse-iteration passes.
+
+    V may arrive in float32 (mixed-precision downsweep); the solves run in the
+    dtype of (d, e).  Columns are re-normalized each step.
+    """
+    dtype = d.dtype
+    X = V.astype(dtype)
+    for _ in range(steps):
+        X = solve_shifted_tridiagonal(d, e, lam, X)
+        X = X / jnp.linalg.norm(X, axis=0, keepdims=True)
+    return X
+
+
+def cluster_segments(lam, gap_tol):
+    """Host-side: contiguous index ranges of eigenvalues closer than gap_tol.
+
+    Returns a list of (start, stop) python ints with stop-start >= 2 — the
+    groups whose refined vectors need re-orthonormalization (dstein-style).
+    """
+    import numpy as np
+    lam = np.asarray(lam)
+    segs = []
+    start = 0
+    for i in range(1, lam.shape[0] + 1):
+        if i == lam.shape[0] or lam[i] - lam[i - 1] > gap_tol:
+            if i - start >= 2:
+                segs.append((start, i))
+            start = i
+    return segs
+
+
+def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8):
+    """QR-orthonormalize eigenvector groups whose eigenvalue gaps are below
+    gap_factor * ||T|| (inverse iteration cannot separate them; any orthonormal
+    basis of the cluster subspace has an equally small residual)."""
+    segs = cluster_segments(lam, gap_factor * norm_t)
+    if not segs:
+        return V
+    for s, t in segs:
+        q, _ = jnp.linalg.qr(V[:, s:t])
+        V = V.at[:, s:t].set(q)
+    return V

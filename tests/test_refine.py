@@ -1,0 +1,63 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from symmetric_eigenvalue_tpu.core.tridiag import dense_from_tridiag
+from symmetric_eigenvalue_tpu.kernels.refine import (cluster_segments,
+                                                     inverse_iteration,
+                                                     solve_shifted_tridiagonal)
+
+
+def test_solve_shifted_matches_numpy(rng):
+    n, K = 40, 7
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    lam = rng.standard_normal(K) * 2
+    B = rng.standard_normal((n, K))
+    X = np.asarray(jax.jit(solve_shifted_tridiagonal)(
+        jnp.asarray(d), jnp.asarray(e), jnp.asarray(lam), jnp.asarray(B)))
+    T = dense_from_tridiag(d, e)
+    for i in range(K):
+        x = np.linalg.solve(T - lam[i] * np.eye(n), B[:, i])
+        assert np.abs(X[:, i] - x).max() < 1e-10 * max(1, np.abs(x).max())
+
+
+def test_solve_near_singular_shift(rng):
+    """Shifts essentially AT eigenvalues: the inverse-iteration regime."""
+    n = 30
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    T = dense_from_tridiag(d, e)
+    w, V = np.linalg.eigh(T)
+    lam = w[:5] + 1e-14
+    B = rng.standard_normal((n, 5))
+    X = np.asarray(jax.jit(solve_shifted_tridiagonal)(
+        jnp.asarray(d), jnp.asarray(e), jnp.asarray(lam), jnp.asarray(B)))
+    assert np.isfinite(X).all()
+    # solution should be dominated by the corresponding eigenvector
+    for i in range(5):
+        x = X[:, i] / np.linalg.norm(X[:, i])
+        assert abs(abs(np.dot(x, V[:, i])) - 1.0) < 1e-6
+
+
+def test_inverse_iteration_refines_f32_vectors(rng):
+    n = 80
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    T = dense_from_tridiag(d, e)
+    w, V = np.linalg.eigh(T)
+    V32 = (V + 1e-6 * rng.standard_normal(V.shape)).astype(np.float32)
+    X = np.asarray(jax.jit(inverse_iteration)(
+        jnp.asarray(d), jnp.asarray(e), jnp.asarray(w), jnp.asarray(V32)))
+    nT = np.abs(w).max()
+    res = np.abs(T @ X - X * w[None, :]).max()
+    assert res < 1e-12 * nT
+    assert np.abs(X.T @ X - np.eye(n)).max() < 1e-10
+
+
+def test_cluster_segments():
+    lam = np.array([0.0, 1e-12, 2e-12, 1.0, 2.0, 2.0 + 1e-13])
+    segs = cluster_segments(lam, 1e-9)
+    assert segs == [(0, 3), (4, 6)]
+    assert cluster_segments(np.array([0.0, 1.0]), 1e-9) == []
