@@ -26,6 +26,7 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 # poisson (scheme 2, analytic-spectrum check)
 MATRIX = os.environ.get("BENCH_MATRIX", "random")
 VECTORS = os.environ.get("BENCH_VECTORS", "1") != "0"
+MIXED = os.environ.get("BENCH_MIXED", "0") == "1"
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_BASELINE_CACHE.json")
 
@@ -106,7 +107,7 @@ def main():
     from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
 
     log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}  n={N}")
-    cfg = se.SolverConfig()
+    cfg = se.SolverConfig(mixed_precision_vectors=MIXED)
     plan = build_plan(N, cfg.resolved_leaf_size(), cfg.max_leaves)
     log(f"plan: P={plan.num_leaves} L={plan.num_levels} b={plan.leaf_pad}")
 
@@ -163,6 +164,7 @@ def main():
         "max_residual_over_normT": float(f"{rel:.3e}"),
         "residual_target_met": bool(rel <= 1e-12),
         "backend": jax.default_backend(),
+        "mixed_precision": MIXED,
     }
     print(json.dumps(out), flush=True)
 

@@ -443,7 +443,9 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
             else:
                 V = downsweep_stepped(reps, Q, n, config, sel, mesh)
                 if config.mixed_precision_vectors:
-                    V = _refine_vectors(d, e, lam, sel, V, config)
+                    # refine in the *prescaled* system (d, e here are already
+                    # divided by snorm): shifts must match that scaling
+                    V = _refine_vectors(d, e, lam_flat[:n], sel, V, config)
             V = _sync(V)
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer
 

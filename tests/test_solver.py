@@ -153,3 +153,39 @@ def test_float32_mode(rng):
     nT = np.abs(wref).max()
     assert np.abs(np.asarray(lam) - wref).max() < 1e-4 * nT
     assert np.abs(T @ np.asarray(V) - np.asarray(V) * np.asarray(lam)[None, :]).max() < 1e-3 * nT
+
+
+def test_mixed_precision_staged(rng):
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+    n = 200
+    d = rng.standard_normal(n) * 5
+    e = rng.standard_normal(n - 1) * 2
+    cfg = se.SolverConfig(leaf_size=16, vec_chunk=64,
+                          mixed_precision_vectors=True)
+    res, _ = solve_tridiagonal_staged(d, e, config=cfg, compute_vectors=True)
+    T = dense_from_tridiag(d, e)
+    lam = np.asarray(res.eigenvalues)
+    V = np.asarray(res.eigenvectors)
+    assert V.dtype == np.float64
+    nT = np.abs(lam).max()
+    assert np.abs(T @ V - V * lam[None, :]).max() < 1e-12 * nT
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-10
+
+
+def test_mixed_precision_clustered(rng):
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+    k = 10
+    m = 2 * k + 1
+    dw = np.abs(np.arange(m) - k).astype(float)
+    ew = np.ones(m - 1)
+    D = np.concatenate([dw] * 6)
+    E = np.concatenate(sum([[ew, [1e-9]] for _ in range(5)], []) + [ew])
+    cfg = se.SolverConfig(leaf_size=16, mixed_precision_vectors=True)
+    res, _ = solve_tridiagonal_staged(D, E, config=cfg, compute_vectors=True)
+    T = dense_from_tridiag(D, E)
+    lam = np.asarray(res.eigenvalues)
+    V = np.asarray(res.eigenvectors)
+    n = len(D)
+    nT = np.abs(lam).max()
+    assert np.abs(T @ V - V * lam[None, :]).max() < 1e-12 * nT
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-9
