@@ -366,8 +366,19 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
     from .kernels.refine import orthonormalize_clusters
 
     lam_sel = lam[sel]
-    fn = _compiled_refine(int(d.shape[0]), int(sel.shape[0]), config)
-    V = fn(d, e, lam_sel, V)
+    C = int(sel.shape[0])
+    chunk = max(1, config.vec_chunk)
+    if C <= chunk:
+        fn = _compiled_refine(int(d.shape[0]), C, config)
+        V = fn(d, e, lam_sel, V)
+    else:
+        # the LU scans emit O(n * C) work arrays; chunk columns to bound HBM
+        parts = []
+        for o in range(0, C, chunk):
+            nc = min(chunk, C - o)
+            fn = _compiled_refine(int(d.shape[0]), nc, config)
+            parts.append(fn(d, e, lam_sel[o:o + nc], V[:, o:o + nc]))
+        V = jnp.concatenate(parts, axis=1)
     norm_t = float(jnp.max(jnp.abs(lam)))
     return orthonormalize_clusters(np.asarray(lam_sel), V, norm_t)
 

@@ -199,6 +199,16 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
                        jnp.zeros_like(gap))
         tau0 = 0.5 * (lo + hi)
         zs2 = zu2[shift_idx]
+        i32 = jnp.int32
+        # bracket poles for the dlaed4 "middle way" model: delta_lo at slot sl
+        # (left bracket pole), delta_hi at sl+1 (or a far fake pole for the
+        # exterior root so the quadratic's spurious root stays out of bracket)
+        interior = (sl + 1) < K
+        delta_lo = poles_sec[sl] - shift_val
+        delta_hi = jnp.where(interior,
+                             poles_sec[jnp.minimum(sl + 1, m - 1)] - shift_val,
+                             4.0 * (jnp.abs(gap) + 1.0))
+        mask_left = jnp.arange(m, dtype=i32)[None, :] <= sl[:, None]
 
         def cond(state):
             tau, lo, hi, done, it = state
@@ -209,28 +219,64 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
             dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]
             inv = 1.0 / dif
             t1 = zu2[None, :] * inv
-            i32 = jnp.int32
+            t2 = t1 * inv
             t1s = jnp.take_along_axis(
                 t1, shift_idx[:, None].astype(i32), axis=1)[:, 0]
-            invs = jnp.take_along_axis(
-                inv, shift_idx[:, None].astype(i32), axis=1)[:, 0]
-            sum1 = jnp.sum(t1, axis=1) - t1s
-            sum2 = jnp.sum(t1 * inv, axis=1) - t1s * invs
-            wsum = jnp.sum(jnp.abs(t1), axis=1) - jnp.abs(t1s)
-            D = 1.0 + rho_e * sum1
-            Dp = rho_e * sum2
-            h = tau * D - rho_e * zs2
-            hp = D + tau * Dp
-            scale_h = jnp.abs(tau) * (1.0 + jnp.abs(rho_e) * wsum) + rho_e * zs2
+            sum1_all = jnp.sum(t1, axis=1)
+            sum2_all = jnp.sum(t2, axis=1)
+            psi = rho_e * jnp.sum(jnp.where(mask_left, t1, 0.0), axis=1)
+            psi1 = rho_e * jnp.sum(jnp.where(mask_left, t2, 0.0), axis=1)
+            phi = rho_e * sum1_all - psi
+            phi1 = rho_e * sum2_all - psi1
+            f = 1.0 + psi + phi
+            # accurate convergence test on h = tau*D - rho*z_s^2 (singular
+            # term isolated; exact for roots arbitrarily close to the pole)
+            Ds = 1.0 + rho_e * (sum1_all - t1s)
+            h = tau * Ds - rho_e * zs2
+            scale_h = jnp.abs(tau) * (1.0 + jnp.abs(rho_e)
+                                      * jnp.abs(sum1_all - t1s)) \
+                + rho_e * zs2
             done_now = jnp.abs(h) <= tolf * scale_h
             # sign(f) = sign(h) * sign(tau); f > 0 => root below tau
             f_pos = (h > 0) ^ (tau < 0)
             hi_n = jnp.where(f_pos, jnp.minimum(hi, tau), hi)
             lo_n = jnp.where(f_pos, lo, jnp.maximum(lo, tau))
+            # middle-way model: fit c3 + c1/(Dlo - eta) + c2/(Dhi - eta) to
+            # f and f' (each side's sum approximated by its bracket pole,
+            # matching value and derivative) ->  a eta^2 - b eta + c = 0
+            Dlo = delta_lo - tau
+            Dhi = delta_hi - tau
+            c1 = psi1 * Dlo * Dlo
+            c2 = phi1 * Dhi * Dhi
+            c3 = f - Dlo * psi1 - Dhi * phi1
+            a = c3
+            b = c3 * (Dlo + Dhi) + c1 + c2
+            c = f * Dlo * Dhi
+            disc = jnp.maximum(b * b - 4.0 * a * c, 0.0)
+            sq = jnp.sqrt(disc)
+            q = 0.5 * (b + jnp.where(b >= 0, sq, -sq))
+            big = jnp.asarray(1e30, dt)
+            e1 = jnp.where(a != 0, q / jnp.where(a != 0, a, 1.0), big)
+            e2 = jnp.where(q != 0, c / jnp.where(q != 0, q, 1.0), big)
+            cand1 = tau + e1
+            cand2 = tau + e2
+            in1 = (cand1 > lo_n) & (cand1 < hi_n)
+            in2 = (cand2 > lo_n) & (cand2 < hi_n)
+            # prefer the smaller step (tangent root) among in-bracket options
+            pick1 = in1 & (~in2 | (jnp.abs(e1) <= jnp.abs(e2)))
+            t_quad = jnp.where(pick1, cand1, cand2)
+            ok_quad = (in1 | in2) & jnp.isfinite(t_quad)
+            # fallbacks: safeguarded Newton on h, then bisection
+            hp = Ds + tau * rho_e * (sum2_all
+                                     - jnp.take_along_axis(
+                                         t2, shift_idx[:, None].astype(i32),
+                                         axis=1)[:, 0])
             hp_safe = jnp.where(hp != 0, hp, jnp.ones_like(hp))
             t_newton = tau - h / hp_safe
-            inside = (t_newton > lo_n) & (t_newton < hi_n)
-            t_next = jnp.where(inside, t_newton, 0.5 * (lo_n + hi_n))
+            in_n = (t_newton > lo_n) & (t_newton < hi_n)
+            t_next = jnp.where(ok_quad, t_quad,
+                               jnp.where(in_n, t_newton,
+                                         0.5 * (lo_n + hi_n)))
             frozen = done | done_now
             tau = jnp.where(frozen, tau, t_next)
             return tau, lo_n, hi_n, frozen, it + 1
