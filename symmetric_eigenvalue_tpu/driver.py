@@ -12,13 +12,17 @@ This is the TPU-native re-architecture of the reference's ``main()`` orchestrati
     batched dense matmuls:  W[:, sel] = BD(Q_leaf) * BD(U_{L-1}) * ... * U_root[:, sel],
     with each level's U rematerialized from its compact MergeRep.
 
-Everything below runs inside a single jit (one device dispatch per solve).
+``solve_tridiagonal`` runs the whole solve in a single jit (one dispatch);
+``solve_tridiagonal_staged`` (CLI/bench path) splits upsweep / per-level
+downsweep dispatches for phase timing and bounded HBM, with optional
+mixed-precision eigenvectors (f32 MXU matmuls + f64 inverse-iteration
+refinement).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +34,6 @@ from .core.tree import TreePlan, build_plan
 from .core.tridiag import residual_norms
 from .dist.mesh import batch_mapped as _batch_mapped
 from .dist.mesh import replicated as _replicated
-from .dist.mesh import shard
 from .kernels.assemble import (apply_u, apply_u_level, assemble_u,
                                rows_through_merge)
 from .kernels.leaf import leaf_blocks, leaf_eigh_fn, solve_leaves
