@@ -36,12 +36,19 @@ def solve_shifted_tridiagonal(d, e, lam, B):
 
     e_ext = jnp.concatenate([e, jnp.zeros((1,), dtype)])
 
+    def clamp(piv):
+        # magnitude floor, not just exact-zero: a ~1e-20 pivot amplifies the
+        # solution past the f32 exponent range of TPU-emulated f64 (x^2 in the
+        # norm would overflow-to-NaN); eps*||T|| is the dstein-style nudge
+        return jnp.where(jnp.abs(piv) < tiny,
+                         jnp.where(piv < 0, -tiny, tiny), piv)
+
     def fwd(carry, inp):
         a, c, r = carry                   # current row: diag, super, rhs (K,)
         sub, a0_next, c0_next, r_next = inp
         swap = jnp.abs(sub) > jnp.abs(a)
         piv = jnp.where(swap, sub, a)
-        piv = jnp.where(piv == 0, tiny, piv)
+        piv = clamp(piv)
         m = jnp.where(swap, a / piv, sub / piv)
         # stored U row j and transformed rhs row j
         ud = piv
@@ -65,7 +72,7 @@ def solve_shifted_tridiagonal(d, e, lam, B):
         fwd, (a0, c0, r0),
         (subs, a_next, c_next, r_next))
 
-    a_f = jnp.where(a_f == 0, tiny, a_f)
+    a_f = clamp(a_f)
     x_last = r_f / a_f
 
     # back substitution: x_j = (r_j - u1_j x_{j+1} - u2_j x_{j+2}) / ud_j
