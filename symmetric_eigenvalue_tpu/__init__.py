@@ -25,9 +25,11 @@ from .core.tridiag import (  # noqa: E402
 )
 from .driver import (  # noqa: E402
     EighTridiagonalResult,
+    eigh,
     eigh_tridiagonal,
     residuals,
     solve_tridiagonal,
+    solve_tridiagonal_staged,
 )
 
 __all__ = [
@@ -35,12 +37,14 @@ __all__ = [
     "SolverConfig",
     "EighTridiagonalResult",
     "create_matrix_scheme1",
+    "eigh",
     "create_matrix_scheme2",
     "eigenvalues_of_scheme2",
     "eigh_tridiagonal",
     "residual_norms",
     "residuals",
     "solve_tridiagonal",
+    "solve_tridiagonal_staged",
     "tridiag_matvec",
 ]
 
