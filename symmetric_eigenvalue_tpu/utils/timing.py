@@ -21,14 +21,16 @@ def sync(tree):
     """Robust device synchronization.
 
     ``block_until_ready`` is a no-op on some tunneled PJRT platforms (observed
-    on axon-proxied TPU), so additionally fetch one element of every array leaf
-    to the host — a fetch cannot complete before the producing computation does.
-    Returns ``tree`` unchanged.
+    on axon-proxied TPU), so additionally fetch one element of ONE array leaf
+    to the host: outputs of a dispatch materialize together, so a single fetch
+    waits for the whole program (per-leaf fetches would cost a ~33 ms tunnel
+    round-trip each).  Returns ``tree`` unchanged.
     """
     tree = jax.block_until_ready(tree)
     for leaf in jax.tree.leaves(tree):
         if hasattr(leaf, "ravel") and getattr(leaf, "size", 0):
             np.asarray(leaf.ravel()[0])
+            break
     return tree
 
 
