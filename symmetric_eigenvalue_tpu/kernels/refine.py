@@ -75,16 +75,31 @@ def solve_shifted_tridiagonal(d, e, lam, B):
     a_f = clamp(a_f)
     x_last = r_f / a_f
 
-    # back substitution: x_j = (r_j - u1_j x_{j+1} - u2_j x_{j+2}) / ud_j
+    # Scaled back substitution: x_j = (r_j - u1_j x_{j+1} - u2_j x_{j+2})/ud_j.
+    # Inverse-iteration solutions can cascade-grow past the f32 exponent range
+    # of TPU-emulated f64 (two tiny pivots in sequence -> 1e30+), so each
+    # system carries a power-of-two scale: rows are emitted at local scale
+    # 2^-s_j and recombined underflow-safely afterwards (entries more than
+    # ~2^-120 below the peak are genuinely negligible post-normalization).
     def bwd(carry, inp):
-        x1, x2 = carry
+        x1, x2, s = carry
         ud_j, u1_j, u2_j, r_j = inp
-        x = (r_j - u1_j * x1 - u2_j * x2) / ud_j
-        return (x, x1), x
+        x = (r_j * jnp.exp2(-s) - u1_j * x1 - u2_j * x2) / ud_j
+        mag = jnp.abs(x)
+        ex = jnp.floor(jnp.log2(jnp.maximum(mag, 1e-30)))
+        shift = jnp.maximum(ex - 20.0, 0.0)
+        x = x * jnp.exp2(-shift)
+        x1 = x1 * jnp.exp2(-shift)
+        s = s + shift
+        return (x, x1, s), (x, s)
 
-    (_, _), xs = lax.scan(bwd, (x_last, jnp.zeros_like(x_last)),
-                          (ud, u1, u2, rr), reverse=True)
-    return jnp.concatenate([xs, x_last[None, :]], axis=0)
+    s0 = jnp.zeros_like(x_last)
+    (_, _, _), (xs, ss) = lax.scan(bwd, (x_last, jnp.zeros_like(x_last), s0),
+                                   (ud, u1, u2, rr), reverse=True)
+    xs = jnp.concatenate([xs, x_last[None, :]], axis=0)
+    ss = jnp.concatenate([ss, s0[None, :]], axis=0)
+    s_max = jnp.max(ss, axis=0, keepdims=True)
+    return xs * jnp.exp2(ss - s_max)
 
 
 def inverse_iteration(d, e, lam, V, steps: int = 1):
