@@ -26,7 +26,7 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 # poisson (scheme 2, analytic-spectrum check)
 MATRIX = os.environ.get("BENCH_MATRIX", "random")
 VECTORS = os.environ.get("BENCH_VECTORS", "1") != "0"
-MIXED = os.environ.get("BENCH_MIXED", "0") == "1"
+MIXED = os.environ.get("BENCH_MIXED", "1") == "1"
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_BASELINE_CACHE.json")
 
