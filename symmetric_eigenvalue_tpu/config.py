@@ -3,9 +3,8 @@
 The reference (``/root/reference/src/eigenvalues.c:72,77,109``) hard-codes absolute
 deflation thresholds (|z_i| < 1e-6, |d_i - d_j| < 1e-5) and a bisection tolerance of
 (b-a)/2 < 1e-14 (``eigenvalues.c:146,235``).  The TPU build uses *relative*,
-LAPACK-``dlaed2``-style criteria by default so accuracy scales with ||T||; the
-reference's absolute thresholds remain available through ``deflation_tol_abs_*`` for
-parity experiments.
+LAPACK-``dlaed2``-style criteria so accuracy scales with ||T|| (set
+``unit_roundoff``/``deflation_factor`` to reproduce looser behavior).
 """
 
 from __future__ import annotations
