@@ -81,21 +81,35 @@ def solve_shifted_tridiagonal(d, e, lam, B):
     # system carries a power-of-two scale: rows are emitted at local scale
     # 2^-s_j and recombined underflow-safely afterwards (entries more than
     # ~2^-120 below the peak are genuinely negligible post-normalization).
+    two_m30 = jnp.asarray(2.0 ** -30, dtype)
+    two_m40 = jnp.asarray(2.0 ** -40, dtype)
+    one = jnp.ones((), dtype)
+
     def bwd(carry, inp):
-        x1, x2, s = carry
+        # g = 2^-s carried directly (underflow of g simply drops r-terms that
+        # are ~2^-106 below the peak — negligible after normalization); the
+        # tiered select-based rescale avoids per-step transcendentals
+        x1, x2, s, g = carry
         ud_j, u1_j, u2_j, r_j = inp
-        x = (r_j * jnp.exp2(-s) - u1_j * x1 - u2_j * x2) / ud_j
+        x = (r_j * g - u1_j * x1 - u2_j * x2) / ud_j
         mag = jnp.abs(x)
-        ex = jnp.floor(jnp.log2(jnp.maximum(mag, 1e-30)))
-        shift = jnp.maximum(ex - 20.0, 0.0)
-        x = x * jnp.exp2(-shift)
-        x1 = x1 * jnp.exp2(-shift)
+        f1 = jnp.where(mag > 2.0 ** 20, two_m30, one)
+        f2 = jnp.where(mag > 2.0 ** 50, two_m30, one)
+        f3 = jnp.where(mag > 2.0 ** 80, two_m40, one)
+        fac = f1 * f2 * f3
+        shift = (jnp.where(mag > 2.0 ** 20, 30.0, 0.0)
+                 + jnp.where(mag > 2.0 ** 50, 30.0, 0.0)
+                 + jnp.where(mag > 2.0 ** 80, 40.0, 0.0))
+        x = x * fac
+        x1 = x1 * fac
+        g = g * fac
         s = s + shift
-        return (x, x1, s), (x, s)
+        return (x, x1, s, g), (x, s)
 
     s0 = jnp.zeros_like(x_last)
-    (_, _, _), (xs, ss) = lax.scan(bwd, (x_last, jnp.zeros_like(x_last), s0),
-                                   (ud, u1, u2, rr), reverse=True)
+    (_, _, _, _), (xs, ss) = lax.scan(
+        bwd, (x_last, jnp.zeros_like(x_last), s0, jnp.ones_like(x_last)),
+        (ud, u1, u2, rr), reverse=True)
     xs = jnp.concatenate([xs, x_last[None, :]], axis=0)
     ss = jnp.concatenate([ss, s0[None, :]], axis=0)
     s_max = jnp.max(ss, axis=0, keepdims=True)
