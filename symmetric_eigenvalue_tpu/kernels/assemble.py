@@ -104,6 +104,22 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
     act = slots < rep.K
     ncol_inv = jnp.where(act, 1.0 / rep.colnorm, jnp.zeros_like(rep.colnorm))
 
+    # mixed-precision fast path: fused Pallas generation+matmul on TPU
+    use_pallas = False
+    if X.dtype == jnp.float32:
+        try:
+            use_pallas = jax.default_backend() == "tpu"
+        except Exception:
+            use_pallas = False
+    if use_pallas:
+        from .pallas.cauchy_matmul import cauchy_matmul, supported
+        if supported(m, X.shape[1]):
+            shift_val = rep.poles_sec[rep.shift_idx]
+            yb = cauchy_matmul(rep.poles_sec, shift_val, rep.tau,
+                               rep.zhat, ncol_inv, Xs)
+            passthrough = (slots >= rep.K)[:, None]
+            return yb + jnp.where(passthrough, Xs, jnp.zeros_like(yb))
+
     def row_block(rows):
         denom = _denom_block(rep, rows, slots)
         Mb = (rep.zhat[rows][:, None] / denom) * ncol_inv[None, :]

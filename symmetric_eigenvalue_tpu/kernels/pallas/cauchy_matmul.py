@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: fused Cauchy-matrix generation + matmul.
+
+The mixed-precision downsweep computes  Y = M @ X  where
+``M[j, i] = zhat_j / ((poles_j - poles_shift_i) - tau_i) * ncolinv_i``
+is never stored (rematerialized U).  The XLA path generates M in emulated f64,
+writes it to HBM in f32, and then reads it back for the dot.  This kernel fuses
+generation into the matmul: M tiles are built *in VMEM* with double-f32 pair
+arithmetic (the pole differences cancel to ~1e-14 and need the two-sum
+corrections; the final ratio only needs f32 relative accuracy since the matmul
+runs in f32 anyway) and fed straight to the MXU.
+
+Mosaic has no f64, so the driver pre-splits each f64 vector v into
+(f32(v), f32(v - f64(f32(v)))) hi/lo pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def split_f64(v):
+    """f64 (or f32) vector -> (hi, lo) f32 pair with hi + lo == v to ~2^-48."""
+    hi = v.astype(jnp.float32)
+    lo = (v - hi.astype(v.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: s + err == a + b exactly (f32)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _kernel(ph, plo, svh, svl, th, tl, z, ninv, x, out):
+    i = pl.program_id(2)
+
+    pj_h = ph[0, :][:, None]      # (TJ, 1)
+    pj_l = plo[0, :][:, None]
+    sv_h = svh[0, :][None, :]     # (1, TI)
+    sv_l = svl[0, :][None, :]
+    tt_h = th[0, :][None, :]
+    tt_l = tl[0, :][None, :]
+
+    # den = (p_j - sv_i) - tau_i in double-f32
+    s1, e1 = _two_sum(pj_h, -sv_h)
+    e1 = e1 + (pj_l - sv_l)
+    s2, e2 = _two_sum(s1, -tt_h)
+    e2 = e2 + (e1 - tt_l)
+    dh = s2 + e2
+    dl = e2 - (dh - s2)
+
+    zz = z[0, :][:, None]         # (TJ, 1)
+    q = zz / dh
+    q = q - q * (dl / dh)         # first-order correction of the pair divide
+    m = q * ninv[0, :][None, :]
+
+    @pl.when(i == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    out[:] += jnp.dot(m, x[:], preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("tj", "ti", "tc"))
+def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
+                  tj: int = 256, ti: int = 512, tc: int = 512):
+    """Y (m, C) f32 = M @ X with M generated on the fly.
+
+    poles/shift_val/tau: f64 (m,); zhat/ncolinv: (m,) any float; X: (m, C) f32.
+    Shapes must tile evenly (caller falls back to the XLA path otherwise).
+    """
+    m = poles.shape[0]
+    C = X.shape[1]
+    ph, plo = split_f64(poles)
+    svh, svl = split_f64(shift_val)
+    th, tl = split_f64(tau)
+    z32 = zhat.astype(jnp.float32)
+    n32 = ncolinv.astype(jnp.float32)
+    X = X.astype(jnp.float32)
+
+    def vec_spec(tile, pick):
+        return pl.BlockSpec((1, tile), pick, memory_space=pltpu.VMEM)
+
+    grid = (m // tj, C // tc, m // ti)
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            vec_spec(tj, lambda j, c, i: (0, j)),   # poles hi
+            vec_spec(tj, lambda j, c, i: (0, j)),   # poles lo
+            vec_spec(ti, lambda j, c, i: (0, i)),   # shift hi
+            vec_spec(ti, lambda j, c, i: (0, i)),   # shift lo
+            vec_spec(ti, lambda j, c, i: (0, i)),   # tau hi
+            vec_spec(ti, lambda j, c, i: (0, i)),   # tau lo
+            vec_spec(tj, lambda j, c, i: (0, j)),   # zhat
+            vec_spec(ti, lambda j, c, i: (0, i)),   # ncolinv
+            pl.BlockSpec((ti, tc), lambda j, c, i: (i, c),
+                         memory_space=pltpu.VMEM),  # X
+        ],
+        out_specs=pl.BlockSpec((tj, tc), lambda j, c, i: (j, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, C), jnp.float32),
+    )(ph[None, :], plo[None, :], svh[None, :], svl[None, :],
+      th[None, :], tl[None, :], z32[None, :], n32[None, :], X)
+
+
+def supported(m: int, C: int, tj=256, ti=512, tc=512) -> bool:
+    return m % tj == 0 and m % ti == 0 and C % tc == 0 and m >= ti
