@@ -96,21 +96,3 @@ def replicated(fn, mesh: Optional[Mesh]):
         return fn
     return jax.shard_map(fn, mesh=mesh, in_specs=P(), out_specs=P(),
                          check_vma=False)
-
-
-def shard(x, mesh: Optional[Mesh], axis: Optional[int]):
-    """Constrain ``x`` to be sharded over mesh axis 0 along array axis ``axis``
-    (None = replicated).  No-op without a mesh or when the dim doesn't divide.
-    """
-    if mesh is None:
-        return x
-    if axis is None:
-        spec = P()
-    else:
-        ndev = mesh.devices.size
-        if x.shape[axis] % ndev != 0:
-            return x
-        parts = [None] * x.ndim
-        parts[axis] = AXIS
-        spec = P(*parts)
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
