@@ -65,7 +65,11 @@ def _kernel(ph, plo, svh, svl, th, tl, z, ninv, x, out):
     def _():
         out[:] = jnp.zeros_like(out)
 
-    out[:] += jnp.dot(m, x[:], preferred_element_type=jnp.float32)
+    # HIGHEST: Mosaic's default dot runs a single bf16 MXU pass (~4e-3 rel)
+    out[:] += jax.lax.dot_general(
+        m, x[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tj", "ti", "tc"))
@@ -85,10 +89,18 @@ def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
     n32 = ncolinv.astype(jnp.float32)
     X = X.astype(jnp.float32)
 
+    grid = (m // tj, C // tc, m // ti)
+    # under jax_enable_x64 the index-map constants trace as i64, which Mosaic
+    # cannot legalize ("func.return (i32, i64, i32)"); trace the kernel x32
+    with jax.enable_x64(False):
+        return _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X,
+                     tj, ti, tc, m, C)
+
+
+def _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X, tj, ti, tc, m, C):
     def vec_spec(tile, pick):
         return pl.BlockSpec((1, tile), pick, memory_space=pltpu.VMEM)
 
-    grid = (m // tj, C // tc, m // ti)
     return pl.pallas_call(
         _kernel,
         grid=grid,
