@@ -108,7 +108,7 @@ def main():
 
     log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}  n={N}")
     cfg = se.SolverConfig(mixed_precision_vectors=MIXED)
-    plan = build_plan(N, cfg.resolved_leaf_size(), cfg.max_leaves)
+    plan = build_plan(N, cfg.resolved_leaf_size(N), cfg.max_leaves)
     log(f"plan: P={plan.num_leaves} L={plan.num_levels} b={plan.leaf_pad}")
 
     d = jnp.asarray(d_np)

@@ -80,13 +80,24 @@ class SolverConfig:
             return float(self.unit_roundoff)
         return default_unit_roundoff(self.dtype)
 
-    def resolved_leaf_size(self) -> int:
-        """Auto leaf size: 32 everywhere — LAPACK-backed batched eigh on
-        CPU/GPU, batched cyclic Jacobi on TPU (XLA's own eigh is only
-        ~1e-7-residual under TPU's emulated f64; see kernels/leaf.py)."""
+    def resolved_leaf_size(self, n: Optional[int] = None) -> int:
+        """Auto leaf size: 32 — LAPACK-backed batched eigh on CPU/GPU, batched
+        cyclic Jacobi on TPU (XLA's own eigh is only ~1e-7-residual under TPU's
+        emulated f64; see kernels/leaf.py).  On TPU the leaf count is capped at
+        1024: a 2048-block Jacobi batch at n=65536 reproducibly faults the
+        device (leaf 64 at the same n is fine)."""
         if self.leaf_size is not None:
             return self.leaf_size
-        return 32
+        leaf = 32
+        if n is not None:
+            try:
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:
+                on_tpu = False
+            if on_tpu:
+                while n // leaf > 1024:
+                    leaf *= 2
+        return leaf
 
     def __hash__(self):
         return hash((self.leaf_size, self.max_leaves, str(self.dtype),

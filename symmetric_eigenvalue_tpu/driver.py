@@ -239,7 +239,7 @@ def _upsweep_leaf_only(d, e, plan, config):
 @functools.lru_cache(maxsize=64)
 def _compiled_solver(n: int, config: SolverConfig, want_vectors: bool,
                      num_select: Optional[int], mesh_id):
-    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
+    plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
 
     def fn(d, e, sel):
@@ -283,7 +283,7 @@ def solve_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_upsweep(n: int, config: SolverConfig, mesh_id):
-    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
+    plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
     if plan.num_levels == 0:
         def fn(d, e):
@@ -306,7 +306,7 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
     """
     from .dist.mesh import last_axis_sharded
 
-    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
+    plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
     block = config.block_size
     ndev = mesh.devices.size if mesh is not None else 1
@@ -489,7 +489,7 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
     n = A.shape[0]
     if A.shape != (n, n):
         raise ValueError("A must be square")
-    plan = build_plan(n, config.resolved_leaf_size(), config.max_leaves)
+    plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
 
     @jax.jit
     def fn(A):
