@@ -27,6 +27,7 @@ REPS = int(os.environ.get("BENCH_REPS", "3"))
 MATRIX = os.environ.get("BENCH_MATRIX", "random")
 VECTORS = os.environ.get("BENCH_VECTORS", "1") != "0"
 MIXED = os.environ.get("BENCH_MIXED", "1") == "1"
+VEC_CHUNK = int(os.environ.get("BENCH_VEC_CHUNK", "0"))
 CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_BASELINE_CACHE.json")
 
@@ -107,7 +108,10 @@ def main():
     from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
 
     log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}  n={N}")
-    cfg = se.SolverConfig(mixed_precision_vectors=MIXED)
+    kw = {"mixed_precision_vectors": MIXED}
+    if VEC_CHUNK:
+        kw["vec_chunk"] = VEC_CHUNK
+    cfg = se.SolverConfig(**kw)
     plan = build_plan(N, cfg.resolved_leaf_size(N), cfg.max_leaves)
     log(f"plan: P={plan.num_leaves} L={plan.num_levels} b={plan.leaf_pad}")
 
