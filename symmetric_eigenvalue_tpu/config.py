@@ -66,7 +66,7 @@ class SolverConfig:
     secular_tol_factor: float = 8.0
     use_gu_eisenstat: bool = True
     block_size: int = 2048
-    vec_chunk: int = 4096
+    vec_chunk: int = 8192
     # mixed precision: run the downsweep's big matmuls in float32 (full MXU
     # rate, ~8x the emulated-f64 dot) and restore working-precision residuals
     # with one f64 inverse-iteration pass + cluster re-orthonormalization
