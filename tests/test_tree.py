@@ -51,3 +51,20 @@ def test_boundaries_partition_leaves():
 def test_max_leaves_cap():
     plan = build_plan(1000, 1, max_leaves=8)
     assert plan.num_leaves <= 8
+
+
+def test_resolved_leaf_size_cap(monkeypatch):
+    import jax
+
+    from symmetric_eigenvalue_tpu.config import SolverConfig
+
+    cfg = SolverConfig()
+    # explicit size wins
+    assert SolverConfig(leaf_size=8).resolved_leaf_size(65536) == 8
+    # on CPU: plain default
+    assert cfg.resolved_leaf_size(65536) == 32
+    # on (pretend) TPU: leaf count capped at 1024
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert cfg.resolved_leaf_size(16384) == 32
+    assert cfg.resolved_leaf_size(65536) == 64
+    assert cfg.resolved_leaf_size(262144) == 256
