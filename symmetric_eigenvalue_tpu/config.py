@@ -73,7 +73,7 @@ class SolverConfig:
     # (kernels/refine.py).  Staged/CLI path only; measured identical max
     # residual to the f64 path at n=16384 (3.9e-14*||T||) at 2.1x the speed.
     mixed_precision_vectors: bool = True
-    refine_steps: int = 1
+    refine_steps: int = 2
 
     def eps(self) -> float:
         if self.unit_roundoff is not None:

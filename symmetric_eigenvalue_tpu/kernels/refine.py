@@ -151,7 +151,16 @@ def cluster_segments(lam, gap_tol):
 def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8):
     """QR-orthonormalize eigenvector groups whose eigenvalue gaps are below
     gap_factor * ||T|| (inverse iteration cannot separate them; any orthonormal
-    basis of the cluster subspace has an equally small residual)."""
+    basis of the cluster subspace has an equally small residual).
+
+    Threshold analysis (with the default TWO refinement passes): initial
+    f32-downsweep contamination is min(1, eps_f32*||T||/gap); each pass
+    multiplies it by (lambda_err/gap ~ 10*eps*||T||/gap).  Two passes push all
+    gaps above ~1e-8*||T|| to <=1e-11 orthogonality, so only genuinely
+    (near-)degenerate groups below that need QR.  Keeping the threshold tight
+    matters: smooth spectra (Poisson) have thousands of gaps just above it and
+    every extra segment costs host-loop dispatches (observed 68s vs 5s at
+    n=16384 with a loose threshold)."""
     segs = cluster_segments(lam, gap_factor * norm_t)
     if not segs:
         return V
