@@ -30,25 +30,62 @@ def _denom_block(rep: MergeRep, rows, slots):
             - rep.tau[slots][None, :])
 
 
+_WAVE_LIMIT = 16
+
+
 def _replay_rotations_rows(rep: MergeRep, u):
     """Apply the inverse Givens chain to rows of u (reverse log order; direct
-    pattern) — ref eigenvalues.c:343-357.  Trip count is the *actual* number of
-    rotations (lax.fori_loop with a traced bound), so cost scales with deflation.
+    pattern) — ref eigenvalues.c:343-357.
+
+    Heavy deflation (e.g. Poisson-like spectra: nearly every pole deflates)
+    makes a per-rotation loop catastrophic: ~m sequential two-row updates at
+    ~0.2 ms each (observed 67 s at n=16384).  Rotations within a *wave* (chain
+    depth, recorded by the deflation scan) are index-disjoint, so each wave
+    applies as one batched gather/scatter; chains are short in practice, so a
+    handful of waves replaces hundreds of thousands of loop steps.  Deep-chain
+    outliers (> _WAVE_LIMIT waves) fall back to the sequential loop.
     """
+    m = rep.poles.shape[0]
 
-    def body(i, u):
-        k = rep.nrot - 1 - i
-        a = rep.rot_a[k]
-        b = rep.rot_b[k]
-        c = rep.rot_c[k].astype(u.dtype)
-        s = rep.rot_s[k].astype(u.dtype)
-        ua = u[a]
-        ub = u[b]
-        u = u.at[a].set(c * ua + s * ub)
-        u = u.at[b].set(-s * ua + c * ub)
-        return u
+    def sequential(u):
+        def body(i, u):
+            k = rep.nrot - 1 - i
+            a = rep.rot_a[k]
+            b = rep.rot_b[k]
+            c = rep.rot_c[k].astype(u.dtype)
+            s = rep.rot_s[k].astype(u.dtype)
+            ua = u[a]
+            ub = u[b]
+            u = u.at[a].set(c * ua + s * ub)
+            u = u.at[b].set(-s * ua + c * ub)
+            return u
 
-    return lax.fori_loop(0, rep.nrot, body, u)
+        return lax.fori_loop(0, rep.nrot, body, u)
+
+    def waves(u):
+        # pad row m is the dump target for masked-out rotations
+        upad = jnp.concatenate([u, jnp.zeros((1,) + u.shape[1:], u.dtype)])
+        valid = jnp.arange(m, dtype=rep.nrot.dtype) < rep.nrot
+
+        def body(wi, upad):
+            w = rep.nwave - wi            # waves are 1-based; reverse order
+            mask = valid & (rep.rot_wave == w)
+            a = jnp.where(mask, rep.rot_a, m)
+            b = jnp.where(mask, rep.rot_b, m)
+            c = jnp.where(mask, rep.rot_c, 1.0).astype(u.dtype)[:, None]
+            s = jnp.where(mask, rep.rot_s, 0.0).astype(u.dtype)[:, None]
+            ua = upad[a]
+            ub = upad[b]
+            upad = upad.at[a].set(c * ua + s * ub)
+            upad = upad.at[b].set(-s * ua + c * ub)
+            return upad
+
+        return lax.fori_loop(0, rep.nwave, body, upad)[:m]
+
+    # waves pay O(nwave) full passes over u regardless of rotation count, so
+    # they only win when there are many rotations (heavy deflation)
+    use_waves = (rep.nrot > 64) & (rep.nwave <= _WAVE_LIMIT)
+    return lax.cond(use_waves, waves, sequential, u)
 
 
 def _replay_rotations_cols_t(rep: MergeRep, w):

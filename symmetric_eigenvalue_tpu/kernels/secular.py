@@ -51,7 +51,10 @@ class MergeRep(NamedTuple):
     rot_b: jnp.ndarray      # (m,) int32 rotation log: surviving slot
     rot_c: jnp.ndarray      # (m,) cosines
     rot_s: jnp.ndarray      # (m,) sines
+    rot_wave: jnp.ndarray   # (m,) int32 chain depth: rotations within a wave are
+    # index-disjoint, so a whole wave applies as one batched gather/scatter
     nrot: jnp.ndarray       # () int32 number of logged rotations
+    nwave: jnp.ndarray      # () int32 number of waves
     colperm: jnp.ndarray    # (m,) int32: slot index of the i-th ascending eigenvalue
     lam_sorted: jnp.ndarray  # (m,) eigenvalues ascending (pads/sentinels last)
 
@@ -112,7 +115,7 @@ def _deflation_scan(ds, zs, defl0, tol):
     i32 = jnp.int32
 
     def body(carry, t):
-        d, z, defl, prev, nrot, ra, rb, rc, rs = carry
+        d, z, defl, prev, nrot, ra, rb, rc, rs, rw, lastwave = carry
         dt = d[t]
         zt = z[t]
         has_prev = prev >= 0
@@ -130,20 +133,27 @@ def _deflation_scan(ds, zs, defl0, tol):
         z = z.at[pc].set(jnp.where(do_rot, 0.0, zp))
         z = z.at[t].set(jnp.where(do_rot, r, zt))
         defl = defl.at[pc].set(jnp.where(do_rot, True, defl[pc]))
+        # wave = chain depth: one more than the last rotation touching either
+        # index (only the survivor chain can be shared)
+        wave = jnp.maximum(lastwave[pc], lastwave[t]) + 1
+        lastwave = lastwave.at[t].set(jnp.where(do_rot, wave, lastwave[t]))
         ra = ra.at[nrot].set(jnp.where(do_rot, prev.astype(i32), ra[nrot]))
         rb = rb.at[nrot].set(jnp.where(do_rot, t.astype(i32), rb[nrot]))
         rc = rc.at[nrot].set(jnp.where(do_rot, c, rc[nrot]))
         rs = rs.at[nrot].set(jnp.where(do_rot, s, rs[nrot]))
+        rw = rw.at[nrot].set(jnp.where(do_rot, wave, rw[nrot]))
         nrot = nrot + do_rot.astype(i32)
         prev = jnp.where(cur_active, t.astype(i32), prev)
-        return (d, z, defl, prev, nrot, ra, rb, rc, rs), None
+        return (d, z, defl, prev, nrot, ra, rb, rc, rs, rw, lastwave), None
 
     carry0 = (ds, zs, defl0, jnp.int32(-1), jnp.int32(0),
               jnp.zeros(m, i32), jnp.zeros(m, i32),
-              jnp.zeros(m, ds.dtype), jnp.zeros(m, ds.dtype))
-    (d, z, defl, _, nrot, ra, rb, rc, rs), _ = lax.scan(
+              jnp.zeros(m, ds.dtype), jnp.zeros(m, ds.dtype),
+              jnp.zeros(m, i32), jnp.zeros(m, i32))
+    (d, z, defl, _, nrot, ra, rb, rc, rs, rw, lastwave), _ = lax.scan(
         body, carry0, jnp.arange(m, dtype=i32))
-    return d, z, defl, (ra, rb, rc, rs, nrot)
+    nwave = jnp.max(lastwave)
+    return d, z, defl, (ra, rb, rc, rs, rw, nrot, nwave)
 
 
 def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
@@ -351,7 +361,9 @@ class MergePartition(NamedTuple):
     rot_b: jnp.ndarray
     rot_c: jnp.ndarray
     rot_s: jnp.ndarray
+    rot_wave: jnp.ndarray
     nrot: jnp.ndarray
+    nwave: jnp.ndarray
 
 
 def merge_partition(d, z, rho, *, eps: float,
@@ -376,7 +388,8 @@ def merge_partition(d, z, rho, *, eps: float,
     zs0 = jnp.where(zdef, jnp.zeros_like(zs), zs)
 
     # type-2 deflation: close poles, Givens rotations (ref eigenvalues.c:98-135)
-    d2, z2, defl, (ra, rb, rc, rs, nrot) = _deflation_scan(ds, zs0, zdef, tol)
+    d2, z2, defl, (ra, rb, rc, rs, rw, nrot, nwave) = _deflation_scan(
+        ds, zs0, zdef, tol)
 
     # stable partition: active slots first
     perm2 = jnp.argsort(defl, stable=True)
@@ -404,7 +417,8 @@ def merge_partition(d, z, rho, *, eps: float,
     return MergePartition(poles=da, poles_sec=poles_sec, zu=zu,
                           rho_e=rho_e, K=K, p12=p12,
                           rot_a=ra_p, rot_b=rb_p, rot_c=rc, rot_s=rs,
-                          nrot=nrot.astype(i32))
+                          rot_wave=rw.astype(i32),
+                          nrot=nrot.astype(i32), nwave=nwave.astype(i32))
 
 
 def merge_roots(part: MergePartition, *, eps: float, max_secular_iters: int,
@@ -460,5 +474,6 @@ def merge_roots(part: MergePartition, *, eps: float, max_secular_iters: int,
                     colnorm=colnorm, K=K, p12=part.p12,
                     rot_a=part.rot_a, rot_b=part.rot_b,
                     rot_c=part.rot_c, rot_s=part.rot_s,
-                    nrot=part.nrot, colperm=colperm,
+                    rot_wave=part.rot_wave,
+                    nrot=part.nrot, nwave=part.nwave, colperm=colperm,
                     lam_sorted=lam_sorted)

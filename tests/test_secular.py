@@ -150,3 +150,29 @@ def test_vmapped_batch(rng):
         U = np.asarray(Us[i])
         assert np.abs(lam - np.linalg.eigvalsh(A)).max() < 1e-12
         assert np.abs(A @ U - U * lam[None, :]).max() < 1e-12
+
+
+def test_heavy_deflation_wave_replay(rng):
+    """Poisson-like merge: most poles deflate pairwise -> exercises the batched
+    wave replay path (nrot > 64)."""
+    half = 150
+    base = np.sort(rng.standard_normal(half) * 3)
+    d = np.sort(np.concatenate([base, base + 1e-13 * rng.random(half)]))
+    z = rng.standard_normal(2 * half)
+    z /= np.linalg.norm(z)
+    rep = run_merge(d, z, 1.9)
+    assert int(rep.nrot) > 64, "test must hit the wave path"
+    assert int(rep.nwave) <= 16
+    m = 2 * half
+    A = np.diag(d) + 1.9 * np.outer(z, z)
+    lam = np.asarray(rep.lam_sorted)
+    U = np.asarray(assemble_u(rep))
+    nA = np.abs(lam).max()
+    assert np.abs(lam - np.linalg.eigvalsh(A)).max() < 1e-12 * nA
+    assert np.abs(A @ U - U * lam[None, :]).max() < 1e-12 * nA
+    assert np.abs(U.T @ U - np.eye(m)).max() < 1e-12
+    # apply_u agrees with materialized U
+    from symmetric_eigenvalue_tpu.kernels.assemble import apply_u
+    X = jnp.asarray(rng.standard_normal((m, 8)))
+    Y = np.asarray(apply_u(rep, X))
+    assert np.abs(Y - U @ np.asarray(X)).max() < 1e-12
