@@ -356,8 +356,8 @@ def _compiled_refine(n: int, ncols: int, config: SolverConfig):
     from .kernels.refine import inverse_iteration
 
     def fn(d, e, lam_sel, V):
-        return inverse_iteration(d, e, lam_sel, V,
-                                 steps=config.refine_steps)
+        # single pass; the driver decides how many passes each column gets
+        return inverse_iteration(d, e, lam_sel, V, steps=1)
 
     return jax.jit(fn, donate_argnums=(3,))
 
@@ -370,20 +370,50 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
 
     lam_sel = lam[sel]
     C = int(sel.shape[0])
+    n = int(d.shape[0])
     chunk = max(1, config.vec_chunk)
-    if C <= chunk:
-        fn = _compiled_refine(int(d.shape[0]), C, config)
-        V = fn(d, e, lam_sel, V)
-    else:
-        # the LU scans emit O(n * C) work arrays; chunk columns to bound HBM
+
+    def one_pass(lam_c, V_c):
+        nc = int(lam_c.shape[0])
+        if nc <= chunk:
+            return _compiled_refine(n, nc, config)(d, e, lam_c, V_c)
         parts = []
-        for o in range(0, C, chunk):
-            nc = min(chunk, C - o)
-            fn = _compiled_refine(int(d.shape[0]), nc, config)
-            parts.append(fn(d, e, lam_sel[o:o + nc], V[:, o:o + nc]))
-        V = jnp.concatenate(parts, axis=1)
+        for o in range(0, nc, chunk):
+            w = min(chunk, nc - o)
+            parts.append(_compiled_refine(n, w, config)(
+                d, e, lam_c[o:o + w], V_c[:, o:o + w]))
+        return jnp.concatenate(parts, axis=1)
+
+    # first inverse-iteration pass over everything
+    V = one_pass(lam_sel, V)
+
+    # Adaptive extra passes: only columns whose eigenvalue gaps the f32
+    # downsweep cannot resolve (gap < ~100*eps_f32*||T||) start with O(1)
+    # intra-cluster mixing and need a second pass; everywhere else one pass
+    # already gives ~1e-11 orthogonality.
     norm_t = float(jnp.max(jnp.abs(lam)))
-    return orthonormalize_clusters(np.asarray(lam_sel), V, norm_t)
+    lam_np = np.asarray(lam_sel)
+    if config.refine_steps > 1 and C > 1:
+        thr = 100.0 * 6e-8 * max(norm_t, 1e-30)
+        gaps = np.diff(lam_np)
+        risky = np.zeros(C, dtype=bool)
+        risky[1:] |= gaps < thr
+        risky[:-1] |= gaps < thr
+        idx = np.nonzero(risky)[0]
+        if idx.size:
+            # pad to a power-of-two bucket to bound recompilations
+            b = 1
+            while b < idx.size:
+                b *= 2
+            idx_p = np.concatenate([idx, np.zeros(b - idx.size, np.int64)])
+            idx_j = jnp.asarray(idx_p)
+            Vr = V[:, idx_j]
+            lam_r = lam_sel[idx_j]
+            for _ in range(config.refine_steps - 1):
+                Vr = one_pass(lam_r, Vr)
+            V = V.at[:, idx_j[: idx.size]].set(Vr[:, : idx.size])
+
+    return orthonormalize_clusters(lam_np, V, norm_t)
 
 
 def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
