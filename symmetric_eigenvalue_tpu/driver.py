@@ -411,7 +411,11 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
             lam_r = lam_sel[idx_j]
             for _ in range(config.refine_steps - 1):
                 Vr = one_pass(lam_r, Vr)
-            V = V.at[:, idx_j[: idx.size]].set(Vr[:, : idx.size])
+            # write back via a transposed ROW scatter: a minor-dim column
+            # scatter on the (n, n) block exceeds the 16MB scoped-VMEM limit
+            Vt = V.T
+            Vt = Vt.at[idx_j[: idx.size]].set(Vr[:, : idx.size].T)
+            V = Vt.T
 
     return orthonormalize_clusters(lam_np, V, norm_t)
 
