@@ -411,11 +411,14 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
             lam_r = lam_sel[idx_j]
             for _ in range(config.refine_steps - 1):
                 Vr = one_pass(lam_r, Vr)
-            # write back via a transposed ROW scatter: a minor-dim column
-            # scatter on the (n, n) block exceeds the 16MB scoped-VMEM limit
-            Vt = V.T
-            Vt = Vt.at[idx_j[: idx.size]].set(Vr[:, : idx.size].T)
-            V = Vt.T
+            # write back with gather+select: any large scatter busts the TPU's
+            # 16MB scoped-VMEM limit in either orientation
+            srcpos = np.zeros(C, np.int64)
+            srcpos[idx] = np.arange(idx.size)
+            V = jax.jit(
+                lambda V, Vr, mask, sp: jnp.where(mask[None, :],
+                                                  Vr[:, sp], V))(
+                V, Vr, jnp.asarray(risky), jnp.asarray(srcpos))
 
     return orthonormalize_clusters(lam_np, V, norm_t)
 
