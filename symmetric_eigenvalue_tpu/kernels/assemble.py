@@ -90,20 +90,45 @@ def _replay_rotations_rows(rep: MergeRep, u):
 
 def _replay_rotations_cols_t(rep: MergeRep, w):
     """Apply the transposed chain to columns of w (forward log order), used when
-    computing  w @ R @ U_slot  without materializing U."""
+    computing  w @ R @ U_slot  without materializing U.  Wave-batched like
+    ``_replay_rotations_rows`` (forward order = ascending waves)."""
+    m = rep.poles.shape[0]
 
-    def body(k, w):
-        a = rep.rot_a[k]
-        b = rep.rot_b[k]
-        c = rep.rot_c[k].astype(w.dtype)
-        s = rep.rot_s[k].astype(w.dtype)
-        wa = w[:, a]
-        wb = w[:, b]
-        w = w.at[:, a].set(c * wa - s * wb)
-        w = w.at[:, b].set(s * wa + c * wb)
-        return w
+    def sequential(w):
+        def body(k, w):
+            a = rep.rot_a[k]
+            b = rep.rot_b[k]
+            c = rep.rot_c[k].astype(w.dtype)
+            s = rep.rot_s[k].astype(w.dtype)
+            wa = w[:, a]
+            wb = w[:, b]
+            w = w.at[:, a].set(c * wa - s * wb)
+            w = w.at[:, b].set(s * wa + c * wb)
+            return w
 
-    return lax.fori_loop(0, rep.nrot, body, w)
+        return lax.fori_loop(0, rep.nrot, body, w)
+
+    def waves(w):
+        wpad = jnp.concatenate(
+            [w, jnp.zeros(w.shape[:-1] + (1,), w.dtype)], axis=-1)
+        valid = jnp.arange(m, dtype=rep.nrot.dtype) < rep.nrot
+
+        def body(wv, wpad):
+            mask = valid & (rep.rot_wave == wv + 1)   # ascending waves
+            a = jnp.where(mask, rep.rot_a, m)
+            b = jnp.where(mask, rep.rot_b, m)
+            c = jnp.where(mask, rep.rot_c, 1.0).astype(w.dtype)[None, :]
+            s = jnp.where(mask, rep.rot_s, 0.0).astype(w.dtype)[None, :]
+            wa = wpad[:, a]
+            wb = wpad[:, b]
+            wpad = wpad.at[:, a].set(c * wa - s * wb)
+            wpad = wpad.at[:, b].set(s * wa + c * wb)
+            return wpad
+
+        return lax.fori_loop(0, rep.nwave, body, wpad)[:, :m]
+
+    use_waves = (rep.nrot > 64) & (rep.nwave <= _WAVE_LIMIT)
+    return lax.cond(use_waves, waves, sequential, w)
 
 
 def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None,

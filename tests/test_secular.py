@@ -176,3 +176,17 @@ def test_heavy_deflation_wave_replay(rng):
     X = jnp.asarray(rng.standard_normal((m, 8)))
     Y = np.asarray(apply_u(rep, X))
     assert np.abs(Y - U @ np.asarray(X)).max() < 1e-12
+
+
+def test_heavy_deflation_rows_through(rng):
+    half = 150
+    base = np.sort(rng.standard_normal(half) * 3)
+    d = np.sort(np.concatenate([base, base + 1e-13 * rng.random(half)]))
+    z = rng.standard_normal(2 * half)
+    z /= np.linalg.norm(z)
+    rep = run_merge(d, z, 1.9)
+    assert int(rep.nrot) > 64
+    U = np.asarray(assemble_u(rep))
+    w = rng.standard_normal((2, 2 * half))
+    y = np.asarray(rows_through_merge(rep, jnp.asarray(w)))
+    assert np.abs(y - w @ U).max() < 1e-12
