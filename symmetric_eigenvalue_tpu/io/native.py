@@ -11,8 +11,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import sysconfig
-import tempfile
 from typing import Optional, Tuple
 
 import numpy as np

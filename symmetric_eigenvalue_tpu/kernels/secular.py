@@ -21,7 +21,7 @@ core/tearing.py) so only the rho > 0 interlacing branch exists
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
