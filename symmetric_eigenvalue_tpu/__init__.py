@@ -9,11 +9,17 @@ designed TPU-first: batched per-level merge kernels under vmap, sharding instead
 of MPI messages, and blocked MXU matmuls instead of row-at-a-time pipelines.
 """
 
+import os as _os
+
 import jax as _jax
 
 # float64 end-to-end is required for the 1e-12*||T|| residual target; on TPU it
-# is emulated float32-pair arithmetic (unit roundoff ~2^-48).
-_jax.config.update("jax_enable_x64", True)
+# is emulated float32-pair arithmetic (unit roundoff ~2^-48).  Importing the
+# package enables x64 by default because every default config assumes it; set
+# SYMMETRIC_EIGENVALUE_TPU_NO_X64=1 to opt out (then pass dtype=jnp.float32
+# configs, or enable x64 yourself before solving in float64).
+if _os.environ.get("SYMMETRIC_EIGENVALUE_TPU_NO_X64", "0") != "1":
+    _jax.config.update("jax_enable_x64", True)
 
 from .config import DEFAULT_CONFIG, SolverConfig  # noqa: E402
 from .core.tridiag import (  # noqa: E402

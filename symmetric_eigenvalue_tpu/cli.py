@@ -110,7 +110,14 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.inputfile is not None:
         print(f"Input file: {args.inputfile}")
-        d_np, e_np = read_symmetric_tridiagonal(args.inputfile)
+        try:
+            d_np, e_np = read_symmetric_tridiagonal(args.inputfile)
+        except (OSError, ValueError) as exc:
+            # clean diagnostic + nonzero exit, matching the reference's file
+            # error handling (main.c:181 MPI_ABORT path); MTXFormatError is a
+            # ValueError subclass
+            print(f"Could not read input file: {exc}", file=sys.stderr)
+            return 1
         n = d_np.shape[0]
         d = jnp.asarray(d_np, dtype)
         e = jnp.asarray(e_np, dtype)

@@ -74,6 +74,26 @@ class SolverConfig:
     # residual to the f64 path at n=16384 (3.9e-14*||T||) at 2.1x the speed.
     mixed_precision_vectors: bool = True
     refine_steps: int = 2
+    # Mixed-precision refinement thresholds (both relative to ||T||):
+    #
+    # refine_risky_gap_factor: columns whose eigenvalue gap is below
+    #   factor * eps_f32 * ||T|| get the extra refinement passes.  The f32
+    #   downsweep leaves intra-cluster mixing O(eps_f32*||T||/gap); one f64
+    #   inverse-iteration pass shrinks it by ~(lam_err/gap) ~ (10*eps*||T||/gap),
+    #   so gaps >= 100*eps_f32*||T|| reach <=1e-11 orthogonality in one pass and
+    #   only the tighter gaps need the second.
+    refine_risky_gap_factor: float = 100.0
+    # cluster_gap_factor: gaps below factor * ||T|| are treated as degenerate
+    #   clusters and re-orthonormalized by QR (dstein-style) — inverse iteration
+    #   cannot separate them, but any orthonormal basis of the cluster subspace
+    #   has an equally small residual.  With two passes, contamination at gap g
+    #   is ~ (eps_f32*||T||/g) * (10*eps*||T||/g): at g = 1e-8*||T|| that is
+    #   ~ 6e-8/1e-8 * 3.6e-14/1e-8 ~ 2e-5... saturated at 1, times 3.6e-6 ->
+    #   <= ~4e-6 entering pass 2 and <=1e-11 after it; below 1e-8*||T|| the
+    #   second factor saturates and QR is required.  Keep tight: smooth spectra
+    #   have thousands of gaps just above any loose threshold and every extra
+    #   QR segment costs host-loop dispatches.
+    cluster_gap_factor: float = 1e-8
 
     def eps(self) -> float:
         if self.unit_roundoff is not None:
@@ -104,7 +124,8 @@ class SolverConfig:
                      self.unit_roundoff, self.deflation_factor,
                      self.max_secular_iters, self.secular_tol_factor,
                      self.use_gu_eisenstat, self.block_size, self.vec_chunk,
-                     self.mixed_precision_vectors, self.refine_steps))
+                     self.mixed_precision_vectors, self.refine_steps,
+                     self.refine_risky_gap_factor, self.cluster_gap_factor))
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -362,6 +362,24 @@ def _compiled_refine(n: int, ncols: int, config: SolverConfig):
     return jax.jit(fn, donate_argnums=(3,))
 
 
+def risky_columns(lam_np, norm_t: float, config: SolverConfig):
+    """Boolean mask of eigenvector columns that need extra refinement passes.
+
+    A column is risky when either adjacent eigenvalue gap is below
+    ``refine_risky_gap_factor * u_f32 * ||T||``: the f32 downsweep cannot
+    resolve such gaps, so those columns start with O(1) intra-cluster mixing
+    that one inverse-iteration pass does not fully remove (see SolverConfig).
+    """
+    # f32 unit roundoff (eps/2 ~ 6e-8) bounds the downsweep's gap resolution
+    u_f32 = float(jnp.finfo(jnp.float32).eps) / 2.0
+    thr = config.refine_risky_gap_factor * u_f32 * max(norm_t, 1e-30)
+    gaps = np.diff(lam_np)
+    risky = np.zeros(lam_np.shape[0], dtype=bool)
+    risky[1:] |= gaps < thr
+    risky[:-1] |= gaps < thr
+    return risky
+
+
 def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
     """Mixed-precision epilogue: one f64 inverse-iteration pass restores
     working-precision residuals from the f32 downsweep; clusters that inverse
@@ -394,11 +412,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
     norm_t = float(jnp.max(jnp.abs(lam)))
     lam_np = np.asarray(lam_sel)
     if config.refine_steps > 1 and C > 1:
-        thr = 100.0 * 6e-8 * max(norm_t, 1e-30)
-        gaps = np.diff(lam_np)
-        risky = np.zeros(C, dtype=bool)
-        risky[1:] |= gaps < thr
-        risky[:-1] |= gaps < thr
+        risky = risky_columns(lam_np, norm_t, config)
         idx = np.nonzero(risky)[0]
         if idx.size:
             # pad to a power-of-two bucket to bound recompilations
@@ -420,7 +434,8 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
                                                   Vr[:, sp], V))(
                 V, Vr, jnp.asarray(risky), jnp.asarray(srcpos))
 
-    return orthonormalize_clusters(lam_np, V, norm_t)
+    return orthonormalize_clusters(lam_np, V, norm_t,
+                                   gap_factor=config.cluster_gap_factor)
 
 
 def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,

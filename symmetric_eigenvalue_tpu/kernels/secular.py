@@ -379,7 +379,13 @@ def merge_partition(d, z, rho, *, eps: float,
 
     znorm0_sq = jnp.sum(zs * zs)
     znorm0 = jnp.sqrt(znorm0_sq)
-    scale = jnp.maximum(jnp.max(jnp.abs(ds)), jnp.abs(rho) * znorm0_sq)
+    # Deflation scale over *real* slots only: pad sentinels (z == 0 exactly,
+    # pole values ramped far above the spectrum) would otherwise inflate the
+    # tolerance ~40-60x for ragged n with many padded leaves, eroding the
+    # 1e-12*||T|| residual headroom under TPU eps 2^-48.
+    pole_scale = jnp.max(jnp.abs(jnp.where(zs != 0.0, ds, jnp.zeros_like(ds))))
+    pole_scale = jnp.where(pole_scale > 0, pole_scale, jnp.max(jnp.abs(ds)))
+    scale = jnp.maximum(pole_scale, jnp.abs(rho) * znorm0_sq)
     scale = jnp.maximum(scale, jnp.asarray(1e-30, dt))
     tol = jnp.asarray(deflation_factor * eps, dt) * scale
 

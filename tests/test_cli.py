@@ -79,3 +79,17 @@ def test_mtx_input(tmp_path):
 
 def test_invalid_dim():
     assert main(["-n", "0"]) == 1
+
+
+def test_missing_input_file(capsys):
+    """A missing -i file prints a clean diagnostic and exits nonzero (ref:
+    main.c:181 aborts with a message), identically for both parser paths."""
+    rc = main(["-i", "/nonexistent/definitely_missing.mtx", "-n", "4"])
+    assert rc == 1
+    assert "Could not read input file" in capsys.readouterr().err
+
+
+def test_missing_file_raises_filenotfound(tmp_path):
+    from symmetric_eigenvalue_tpu.io.mtx import read_symmetric_tridiagonal
+    with pytest.raises(FileNotFoundError):
+        read_symmetric_tridiagonal(tmp_path / "nope.mtx")

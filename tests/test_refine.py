@@ -61,3 +61,25 @@ def test_cluster_segments():
     segs = cluster_segments(lam, 1e-9)
     assert segs == [(0, 3), (4, 6)]
     assert cluster_segments(np.array([0.0, 1.0]), 1e-9) == []
+
+
+def test_risky_column_selection():
+    """Adaptive second-pass selection: only columns whose gaps the f32
+    downsweep cannot resolve are marked (both sides of a tight gap)."""
+    from symmetric_eigenvalue_tpu import SolverConfig
+    from symmetric_eigenvalue_tpu.driver import risky_columns
+
+    cfg = SolverConfig()
+    u32 = np.finfo(np.float32).eps / 2.0
+    norm_t = 10.0
+    thr = cfg.refine_risky_gap_factor * u32 * norm_t
+    # gaps: [wide, tight, wide, tight] -> columns 1,2 and 3,4 risky
+    lam = np.array([0.0, 1.0, 1.0 + 0.1 * thr, 5.0, 5.0 + 0.5 * thr])
+    risky = risky_columns(lam, norm_t, cfg)
+    assert risky.tolist() == [False, True, True, True, True]
+    # all-wide spectrum: nothing risky
+    lam2 = np.arange(6, dtype=float)
+    assert not risky_columns(lam2, norm_t, cfg).any()
+    # threshold scales with config factor
+    cfg2 = SolverConfig(refine_risky_gap_factor=1e9)
+    assert risky_columns(lam2, norm_t, cfg2).all()
