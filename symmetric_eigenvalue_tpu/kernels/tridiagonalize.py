@@ -2,20 +2,28 @@
 
 The reference solves tridiagonal inputs only; BASELINE.md's north star adds a
 dense front-end so symmetric inputs run end-to-end.  This is a LAPACK
-``sytrd``/``latrd``-style panel algorithm recast for the MXU: the inner panel
-loop does matvecs against delayed-update accumulators V/W, and each panel ends
-with one symmetric rank-2k trailing update (two big GEMMs).  Eigenvector
-backtransformation applies the reflectors in compact-WY form (``larft``/
-``larfb`` equivalents) — all GEMMs, no per-reflector passes over the matrix.
+``sytrd``/``latrd``-style panel algorithm recast for the TPU memory system:
+
+  * every per-column access is **major-dim**: the current column of the
+    symmetric A is read as the row ``A[j, :]`` (dynamic_slice of contiguous
+    memory), and the reflector/update accumulators are stored *transposed* —
+    reflector k is ROW k of ``Vt`` — so the per-column writes are contiguous
+    ``dynamic_update_slice`` row stores.  (The previous layout's
+    ``A[:, j]`` gathers and ``V.at[:, j].set`` scatters cost ~22 ms/column on
+    TPU — minor-dim dynamic indexing of a 134 MB array; row form is ~100x.)
+  * the inner panel loop does matvecs against delayed-update accumulators
+    Vp/Wp, and each panel ends with one symmetric rank-2k trailing update
+    (two big GEMMs on the MXU).
+
+Eigenvector backtransformation applies the reflectors in compact-WY form
+(``larft``/``larfb`` equivalents) — all GEMMs, no per-reflector passes.
 
 Everything uses static shapes: the panel loop indexes with dynamic slices into
-fixed (n, nb) buffers whose not-yet-filled columns are zero, so delayed updates
-are plain full-width matvecs.
+fixed buffers whose not-yet-filled rows are zero, so delayed updates are plain
+full-width matvecs.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +31,14 @@ from jax import lax
 
 
 def _householder(x, j, n):
-    """Householder vector zeroing x[j+2:], pivot at j+1; rows <= j masked out.
+    """Householder vector zeroing x[j+2:], pivot at j+1; entries <= j masked.
 
     Returns (v (n,), tau, alpha) with H = I - tau v v^T, H x = (..., alpha, 0...),
     v normalized so v[j+1] = 1 (LAPACK convention).
     """
     idx = jnp.arange(n)
-    tail = idx >= j + 1          # rows participating in the reflector
-    below = idx >= j + 2         # rows to annihilate
+    tail = idx >= j + 1          # entries participating in the reflector
+    below = idx >= j + 2         # entries to annihilate
     x0 = jnp.where(tail, x, 0.0)
     pivot = x[j + 1]
     sigma2 = jnp.sum(jnp.where(below, x0 * x0, 0.0))
@@ -47,107 +55,111 @@ def _householder(x, j, n):
 
 
 def tridiagonalize(A, panel: int = 32):
-    """A (n, n) symmetric -> (d (n,), e (n-1,), V (n, n), tau (n,)).
+    """A (n, n) symmetric -> (d (n,), e (n-1,), Vt (n, n), tau (n,)).
 
     T = Q^T A Q with Q = H_0 H_1 ... H_{n-3};  H_k = I - tau_k v_k v_k^T where
-    v_k = V[:, k] (zero above row k+1, unit at row k+1).
+    v_k = Vt[k, :] (reflectors stored as ROWS; zero at entries <= k, unit at
+    entry k+1).
     """
     n = A.shape[0]
     dtype = A.dtype
     if n == 1:
-        return jnp.diagonal(A), jnp.zeros((0,), dtype), jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype)
+        return (jnp.diagonal(A), jnp.zeros((0,), dtype),
+                jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype))
     nb = max(1, min(panel, n))
     num_panels = (n - 1 + nb - 1) // nb
 
-    Vall = jnp.zeros((n, n), dtype)
+    Vt = jnp.zeros((n, n), dtype)
     taus = jnp.zeros((n,), dtype)
     evec = jnp.zeros((n,), dtype)    # e[j] at slot j
 
     def panel_body(p, carry):
-        A, Vall, taus, evec = carry
+        A, Vt, taus, evec = carry
         o = p * nb
-        V = jnp.zeros((n, nb), dtype)
-        W = jnp.zeros((n, nb), dtype)
+        Vp = jnp.zeros((nb, n), dtype)   # panel reflectors, rows
+        Wp = jnp.zeros((nb, n), dtype)   # panel W accumulators, rows
 
         def col_body(jj, inner):
-            A, V, W, Vall, taus, evec = inner
+            A, Vp, Wp, Vt, taus, evec = inner
             j = o + jj
             live = j < n - 1       # columns beyond n-2 are no-ops
-            # delayed update of column j:  a = (A - V W^T - W V^T)[:, j]
-            a = A[:, j] - V @ W[j, :] - W @ V[j, :]
+            # delayed update of column j (= row j: A and its updates stay
+            # symmetric):  a = (A - Vp^T Wp - Wp^T Vp)[j, :]
+            aj = lax.dynamic_slice(A, (j, 0), (1, n))[0]
+            vcol = lax.dynamic_slice(Vp, (0, j), (nb, 1))[:, 0]   # Vp[:, j]
+            wcol = lax.dynamic_slice(Wp, (0, j), (nb, 1))[:, 0]   # Wp[:, j]
+            a = aj - wcol @ Vp - vcol @ Wp
             v, tau, alpha = _householder(a, j, n)
             v = jnp.where(live, v, jnp.zeros_like(v))
             tau = jnp.where(live, tau, 0.0)
-            # w = tau * (A_updated v) with delayed update, then make symmetric
-            Av = A @ v - V @ (W.T @ v) - W @ (V.T @ v)
+            # w = tau * (A_updated v) with delayed update; A v = v A (symmetry)
+            Av = v @ A - (Wp @ v) @ Vp - (Vp @ v) @ Wp
             w = tau * Av
             w = w - (0.5 * tau * jnp.dot(w, v)) * v
-            V = V.at[:, jj].set(v)
-            W = W.at[:, jj].set(w)
-            Vall = Vall.at[:, j].set(v)
+            Vp = lax.dynamic_update_slice(Vp, v[None, :], (jj, 0))
+            Wp = lax.dynamic_update_slice(Wp, w[None, :], (jj, 0))
+            Vt = lax.dynamic_update_slice(Vt, v[None, :], (j, 0))
             taus = taus.at[j].set(tau)
             evec = evec.at[j].set(jnp.where(live, alpha, evec[j]))
-            return A, V, W, Vall, taus, evec
+            return A, Vp, Wp, Vt, taus, evec
 
-        A, V, W, Vall, taus, evec = lax.fori_loop(
-            0, nb, col_body, (A, V, W, Vall, taus, evec))
-        # trailing symmetric rank-2k update: A <- A - V W^T - W V^T
-        A = A - V @ W.T - W @ V.T
-        return A, Vall, taus, evec
+        A, Vp, Wp, Vt, taus, evec = lax.fori_loop(
+            0, nb, col_body, (A, Vp, Wp, Vt, taus, evec))
+        # trailing symmetric rank-2k update: A <- A - V W^T - W V^T (2 GEMMs)
+        A = A - Vp.T @ Wp - Wp.T @ Vp
+        return A, Vt, taus, evec
 
-    A, Vall, taus, evec = lax.fori_loop(
-        0, num_panels, panel_body, (A, Vall, taus, evec))
+    A, Vt, taus, evec = lax.fori_loop(
+        0, num_panels, panel_body, (A, Vt, taus, evec))
 
     d = jnp.diagonal(A)
     e = evec[: n - 1]
-    return d, e, Vall, taus
+    return d, e, Vt, taus
 
 
-def _larft(V, tau):
+def _larft(Vp, tau):
     """Forward compact-WY T factor: Q = I - V T V^T for one panel.
 
-    V (n, nb) with unit 'diagonal' structure already baked in; T upper
-    triangular (nb, nb):  T[:k, k] = -tau_k T[:k, :k] (V^T v_k), T[k, k] = tau_k.
+    Vp (nb, n): reflectors as rows with unit structure already baked in;
+    T upper triangular (nb, nb):
+    T[:k, k] = -tau_k T[:k, :k] (V^T v_k), T[k, k] = tau_k.
     """
-    nb = V.shape[1]
-    G = V.T @ V                           # (nb, nb) gram
+    nb = Vp.shape[0]
+    G = Vp @ Vp.T                         # (nb, nb) gram
     def body(k, T):
         col = -tau[k] * (T @ G[:, k])
         col = jnp.where(jnp.arange(nb) < k, col, 0.0)
         col = col.at[k].set(tau[k])
         return T.at[:, k].set(col)
-    return lax.fori_loop(0, nb, body, jnp.zeros((nb, nb), V.dtype))
+    return lax.fori_loop(0, nb, body, jnp.zeros((nb, nb), Vp.dtype))
 
 
-def apply_q(Vall, taus, X, panel: int = 32, transpose: bool = False):
+def apply_q(Vt, taus, X, panel: int = 32, transpose: bool = False):
     """Apply Q (or Q^T) to X (n, k) in compact-WY blocks.
 
-    Q = H_0 H_1 ... ;  Q @ X applies panels in reverse order, Q^T @ X forward.
-    Used for eigenvector backtransformation: A = Q T Q^T, so dense eigenvectors
-    are Q @ (tridiagonal eigenvectors).
+    Q = H_0 H_1 ... with H_j from row j of Vt;  Q @ X applies panels in
+    reverse order, Q^T @ X forward.  Used for eigenvector backtransformation:
+    A = Q T Q^T, so dense eigenvectors are Q @ (tridiagonal eigenvectors).
     """
-    n = Vall.shape[0]
+    n = Vt.shape[0]
     nb = max(1, min(panel, n))
     num_panels = (n - 1 + nb - 1) // nb
     # pad to whole panels: lax.dynamic_slice clamps out-of-bounds starts, which
-    # would silently re-read earlier columns for a ragged last panel; padded
-    # columns have tau = 0 (identity reflectors)
-    pad_cols = num_panels * nb - n
-    if pad_cols > 0:
-        Vall = jnp.pad(Vall, ((0, 0), (0, pad_cols)))
-        taus = jnp.pad(taus, (0, pad_cols))
+    # would silently re-read earlier rows for a ragged last panel; padded
+    # rows have tau = 0 (identity reflectors)
+    pad_rows = num_panels * nb - n
+    if pad_rows > 0:
+        Vt = jnp.pad(Vt, ((0, pad_rows), (0, 0)))
+        taus = jnp.pad(taus, (0, pad_rows))
 
     def apply_panel(p, X):
         o = p * nb
-        V = lax.dynamic_slice(Vall, (0, o), (n, nb))
+        Vp = lax.dynamic_slice(Vt, (o, 0), (nb, n))
         t = lax.dynamic_slice(taus, (o,), (nb,))
-        T = _larft(V, t)
-        if transpose:
-            M = T.T
-        else:
-            M = T
+        T = _larft(Vp, t)
+        M = T.T if transpose else T
         # X <- (I - V M V^T) X
-        return X - V @ (M @ (V.T @ X))
+        return X - Vp.T @ (M @ (Vp @ X))
 
     if transpose:
         X = lax.fori_loop(0, num_panels, apply_panel, X)

@@ -54,6 +54,32 @@ def test_mesh_smaller_than_leaves(rng):
     assert np.abs(np.asarray(lam) - wref).max() < 1e-12
 
 
+@pytest.mark.slow
+def test_staged_mixed_sharded_at_scale(rng):
+    """The shipping pipeline (staged + mixed precision + stepped downsweep +
+    refinement) at n=2048 over the full 8-device mesh — the scaled-down twin
+    of the driver-run n=4096 dryrun (VERDICT r1 item 1)."""
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+
+    n = 2048
+    d = rng.standard_normal(n) * 3
+    e = rng.standard_normal(n - 1)
+    cfg = se.SolverConfig(leaf_size=64, vec_chunk=1024,
+                          mixed_precision_vectors=True)
+    mesh = make_mesh()
+    res, _ = solve_tridiagonal_staged(d, e, config=cfg, compute_vectors=True,
+                                      mesh=mesh)
+    lam = np.asarray(res.eigenvalues)
+    V = np.asarray(res.eigenvectors)
+    nT = np.abs(lam).max()
+    resid = np.abs(d[:, None] * V
+                   + np.vstack([e[:, None] * V[1:], np.zeros((1, n))])
+                   + np.vstack([np.zeros((1, n)), e[:, None] * V[:-1]])
+                   - V * lam[None, :]).max()
+    assert resid < 1e-12 * nT
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-10
+
+
 def test_staged_chunked_with_mesh(rng):
     """Stepped downsweep + column chunking + mesh (slot-sharded top merges)."""
     from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged

@@ -8,11 +8,12 @@ from symmetric_eigenvalue_tpu.kernels.tridiagonalize import (apply_q,
                                                              tridiagonalize)
 
 
-def reconstruct_q(V, tau):
-    n = V.shape[0]
+def reconstruct_q(Vt, tau):
+    """Q = H_0 H_1 ... from reflector ROWS of Vt (transposed storage)."""
+    n = Vt.shape[0]
     Q = np.eye(n)
     for k in range(n):
-        v = np.asarray(V[:, k])
+        v = np.asarray(Vt[k, :])
         Q = Q @ (np.eye(n) - float(tau[k]) * np.outer(v, v))
     return Q
 
