@@ -30,6 +30,33 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _use_dword_matvec(n: int, dtype) -> bool:
+    """True when the Pallas double-word kernels should carry the per-column
+    ``v @ A`` product and the panel GEMMs (TPU + f64).
+
+    XLA's emulated-f64 matvec costs ~10 ms at n=4096 (it materializes
+    full-size f32-pair temporaries) and its emulated GEMM runs at
+    ~0.1 TFLOP/s; the Pallas kernels stream A once (~0.25 ms) and run the
+    GEMMs on the MXU via exact bf16 slicing (kernels/pallas/dword_matmul).
+    Padding in :func:`tridiagonalize` makes any n tileable, so this only
+    declines on non-TPU backends or non-f64 dtypes.
+    """
+    if dtype != jnp.float64:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend probing never raises today
+        return False
+
+
+def _mm(A, B, use_dword: bool, tm: int = 256, tn: int = 256):
+    """f64-grade matmul: MXU-sliced Pallas kernel on TPU, jnp.dot elsewhere."""
+    if not use_dword:
+        return A @ B
+    from .pallas.dword_matmul import dword_matmul
+    return dword_matmul(A, B, tm=tm, tn=tn)
+
+
 def _householder(x, j, n):
     """Householder vector zeroing x[j+2:], pivot at j+1; entries <= j masked.
 
@@ -69,6 +96,18 @@ def tridiagonalize(A, panel: int = 32):
     nb = max(1, min(panel, n))
     num_panels = (n - 1 + nb - 1) // nb
 
+    use_dword = _use_dword_matvec(n, dtype)
+    n_orig = n
+    if use_dword:
+        from .pallas.dword_matvec import dword_vecmat
+        # pad A (zero border) so the kernel tiles evenly; reflectors are zero
+        # in pad entries, so the reduction of the padded matrix restricted to
+        # the first n_orig-1 columns is numerically identical
+        pad = (-n) % 512
+        if pad:
+            A = jnp.pad(A, ((0, pad), (0, pad)))
+            n = n + pad
+
     Vt = jnp.zeros((n, n), dtype)
     taus = jnp.zeros((n,), dtype)
     evec = jnp.zeros((n,), dtype)    # e[j] at slot j
@@ -78,6 +117,11 @@ def tridiagonalize(A, panel: int = 32):
         o = p * nb
         Vp = jnp.zeros((nb, n), dtype)   # panel reflectors, rows
         Wp = jnp.zeros((nb, n), dtype)   # panel W accumulators, rows
+        if use_dword:
+            from .pallas.cauchy_matmul import split_f64
+            # split once per panel; A is constant through the inner loop
+            # (delayed updates), so the pair stays exact all panel long
+            Ah, Al = split_f64(A)
 
         def col_body(jj, inner):
             A, Vp, Wp, Vt, taus, evec = inner
@@ -93,7 +137,8 @@ def tridiagonalize(A, panel: int = 32):
             v = jnp.where(live, v, jnp.zeros_like(v))
             tau = jnp.where(live, tau, 0.0)
             # w = tau * (A_updated v) with delayed update; A v = v A (symmetry)
-            Av = v @ A - (Wp @ v) @ Vp - (Vp @ v) @ Wp
+            vA = dword_vecmat(v, Ah, Al) if use_dword else v @ A
+            Av = vA - (Wp @ v) @ Vp - (Vp @ v) @ Wp
             w = tau * Av
             w = w - (0.5 * tau * jnp.dot(w, v)) * v
             Vp = lax.dynamic_update_slice(Vp, v[None, :], (jj, 0))
@@ -105,19 +150,23 @@ def tridiagonalize(A, panel: int = 32):
 
         A, Vp, Wp, Vt, taus, evec = lax.fori_loop(
             0, nb, col_body, (A, Vp, Wp, Vt, taus, evec))
-        # trailing symmetric rank-2k update: A <- A - V W^T - W V^T (2 GEMMs)
-        A = A - Vp.T @ Wp - Wp.T @ Vp
+        # trailing symmetric rank-2k update, fused: A -= [V;W]^T [W;V]
+        A = A - _mm(jnp.concatenate([Vp, Wp], axis=0).T,
+                    jnp.concatenate([Wp, Vp], axis=0), use_dword)
         return A, Vt, taus, evec
 
     A, Vt, taus, evec = lax.fori_loop(
         0, num_panels, panel_body, (A, Vt, taus, evec))
 
-    d = jnp.diagonal(A)
-    e = evec[: n - 1]
+    d = jnp.diagonal(A)[:n_orig] if use_dword else jnp.diagonal(A)
+    e = evec[: n_orig - 1]
+    if use_dword and n != n_orig:
+        Vt = Vt[:n_orig, :n_orig]
+        taus = taus[:n_orig]
     return d, e, Vt, taus
 
 
-def _larft(Vp, tau):
+def _larft(Vp, tau, use_dword: bool = False):
     """Forward compact-WY T factor: Q = I - V T V^T for one panel.
 
     Vp (nb, n): reflectors as rows with unit structure already baked in;
@@ -125,7 +174,7 @@ def _larft(Vp, tau):
     T[:k, k] = -tau_k T[:k, :k] (V^T v_k), T[k, k] = tau_k.
     """
     nb = Vp.shape[0]
-    G = Vp @ Vp.T                         # (nb, nb) gram
+    G = _mm(Vp, Vp.T, use_dword, tm=32, tn=32)   # (nb, nb) gram
     def body(k, T):
         col = -tau[k] * (T @ G[:, k])
         col = jnp.where(jnp.arange(nb) < k, col, 0.0)
@@ -144,6 +193,7 @@ def apply_q(Vt, taus, X, panel: int = 32, transpose: bool = False):
     n = Vt.shape[0]
     nb = max(1, min(panel, n))
     num_panels = (n - 1 + nb - 1) // nb
+    use_dword = _use_dword_matvec(n, Vt.dtype)
     # pad to whole panels: lax.dynamic_slice clamps out-of-bounds starts, which
     # would silently re-read earlier rows for a ragged last panel; padded
     # rows have tau = 0 (identity reflectors)
@@ -156,10 +206,10 @@ def apply_q(Vt, taus, X, panel: int = 32, transpose: bool = False):
         o = p * nb
         Vp = lax.dynamic_slice(Vt, (o, 0), (nb, n))
         t = lax.dynamic_slice(taus, (o,), (nb,))
-        T = _larft(Vp, t)
+        T = _larft(Vp, t, use_dword)
         M = T.T if transpose else T
-        # X <- (I - V M V^T) X
-        return X - Vp.T @ (M @ (Vp @ X))
+        # X <- (I - V M V^T) X; the outer products carry the O(n^2 nb) work
+        return X - _mm(Vp.T, M @ _mm(Vp, X, use_dword, tm=32), use_dword)
 
     if transpose:
         X = lax.fori_loop(0, num_panels, apply_panel, X)

@@ -1,0 +1,84 @@
+"""On-device correctness check for the Pallas kernels (VERDICT r1 item 8).
+
+Compares each compiled Pallas kernel against its XLA reference path on the
+real TPU at bench-relevant shapes; interpreter-mode unit tests cannot catch
+Mosaic lowering issues (e.g. FMA contraction or tiling bugs), this does.
+
+Run:  PYTHONPATH=.:/root/.axon_site python tools/check_pallas_on_tpu.py
+Record the printed max-abs-diff numbers in PARITY.md.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+from symmetric_eigenvalue_tpu.kernels.pallas.cauchy_matmul import (
+    cauchy_matmul, split_f64)
+from symmetric_eigenvalue_tpu.kernels.pallas.dword_matvec import dword_vecmat
+
+
+def check_cauchy(m=16384, C=2048, seed=0):
+    """Fused Cauchy matmul vs the XLA f64-generate + f32-dot path at the
+    n=16384 bench shape (m slots x vec_chunk columns)."""
+    rng = np.random.default_rng(seed)
+    poles = np.sort(rng.standard_normal(m))
+    tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
+    tau[m // 3] = 1e-13            # near-pole root: needs the pair arithmetic
+    shift_val = poles.copy()
+    zhat = rng.standard_normal(m) * 0.1
+    ncolinv = np.abs(rng.standard_normal(m)) + 0.1
+    X = rng.standard_normal((m, C)).astype(np.float32)
+
+    Y = np.asarray(cauchy_matmul(
+        jnp.asarray(poles), jnp.asarray(shift_val), jnp.asarray(tau),
+        jnp.asarray(zhat), jnp.asarray(ncolinv), jnp.asarray(X)))
+
+    @jax.jit
+    def xla_path(poles, shift_val, tau, zhat, ncolinv, X):
+        den = (poles[:, None] - shift_val[None, :]) - tau[None, :]
+        M = (zhat[:, None] / den) * ncolinv[None, :]
+        return M.astype(jnp.float32) @ X
+
+    Yx = np.asarray(xla_path(
+        jnp.asarray(poles), jnp.asarray(shift_val), jnp.asarray(tau),
+        jnp.asarray(zhat), jnp.asarray(ncolinv), jnp.asarray(X)))
+    scale = np.abs(Yx).max()
+    diff = np.abs(Y - Yx).max()
+    print(f"cauchy_matmul   m={m} C={C}: max|pallas-xla|={diff:.3e} "
+          f"(scale {scale:.3e}, rel {diff/scale:.3e})")
+    return diff / scale
+
+
+def check_dword_matvec(n=4096, seed=0):
+    """Double-word matvec vs the XLA emulated-f64 matvec."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    v = rng.standard_normal(n)
+    Ah, Al = split_f64(jnp.asarray(A))
+    y = np.asarray(jax.jit(dword_vecmat)(jnp.asarray(v), Ah, Al))
+    yx = np.asarray(jax.jit(lambda v, A: v @ A)(jnp.asarray(v), jnp.asarray(A)))
+    scale = np.abs(yx).max()
+    diff = np.abs(y - yx).max()
+    print(f"dword_vecmat    n={n}: max|pallas-xla|={diff:.3e} "
+          f"(scale {scale:.3e}, rel {diff/scale:.3e})")
+    return diff / scale
+
+
+if __name__ == "__main__":
+    if jax.default_backend() != "tpu":
+        print(f"backend is {jax.default_backend()}, not tpu — aborting")
+        sys.exit(1)
+    r1 = check_cauchy()
+    r2 = check_dword_matvec()
+    ok = r1 < 1e-6 and r2 < 1e-12
+    print("OK" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
