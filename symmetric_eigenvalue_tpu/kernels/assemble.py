@@ -22,6 +22,21 @@ from jax import lax
 
 from .secular import MergeRep, map_slot_blocks
 
+_warned_fallback: set = set()
+
+
+def _warn_pallas_fallback(m: int, c: int) -> None:
+    """One-line note (once per shape) when the fused Cauchy kernel declines a
+    shape and the slower XLA generate-then-dot path runs instead — so a
+    config change (e.g. vec_chunk) can't silently cost the ~2x kernel win."""
+    key = (m, c)
+    if key not in _warned_fallback:
+        _warned_fallback.add(key)
+        import sys
+        print(f"note: pallas cauchy_matmul fallback to XLA path for "
+              f"shape m={m}, C={c} (needs m%512==0, C%512==0, m>=512)",
+              file=sys.stderr)
+
 
 def _denom_block(rep: MergeRep, rows, slots):
     """(|rows|, |slots|) of d_row - lam_slot = (d_row - d_shift) - tau."""
@@ -30,7 +45,7 @@ def _denom_block(rep: MergeRep, rows, slots):
             - rep.tau[slots][None, :])
 
 
-_WAVE_LIMIT = 16
+_WAVE_LIMIT = 24   # deflation tree depth is ceil(log2(m)): 17 at m=128Ki
 
 
 def _replay_rotations_rows(rep: MergeRep, u):
@@ -181,6 +196,7 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
                                rep.zhat, ncol_inv, Xs)
             passthrough = (slots >= rep.K)[:, None]
             return yb + jnp.where(passthrough, Xs, jnp.zeros_like(yb))
+        _warn_pallas_fallback(m, X.shape[1])
 
     def row_block(rows):
         denom = _denom_block(rep, rows, slots)

@@ -88,13 +88,16 @@ def _peel_slices(rh, rl):
 
 
 def slice_lhs(A, kb: int = KB):
-    """A (M, K) f64 -> (slices (NSLICE, M, K) bf16, scales (M, K/kb) f32)."""
+    """A (M, K) f64 -> (slices (NSLICE, M, K) bf16, scales (K/kb, M) f32)."""
     M, K = A.shape
     ah, al = split_f64(A)
     m = jnp.max(jnp.abs(ah).reshape(M, K // kb, kb), axis=2)
     se = _pow2_ceil(m)                       # (M, K/kb)
     rinv = 1.0 / jnp.repeat(se, kb, axis=1)  # exact: powers of two
-    return _peel_slices(ah * rinv, al * rinv), se
+    # scales returned transposed (K/kb, M): the kernel picks its k-block row
+    # with a sublane-dim dynamic index (lane-dim dynamic indexing needs
+    # 128-multiples, which Mosaic cannot prove for program ids)
+    return _peel_slices(ah * rinv, al * rinv), se.T
 
 
 def slice_rhs(B, kb: int = KB):
@@ -110,6 +113,10 @@ def slice_rhs(B, kb: int = KB):
 def _kernel(asl, bsl, sa, sb, outh, outl, acc_s, acc_c, acc_cc):
     k = pl.program_id(2)
     n_k = pl.num_programs(2)
+    # sa block is (n_k, tm), sb is (n_k, tn): the k-block's scales are picked
+    # with a sublane-dim dynamic index, then broadcast
+    sa_k = sa[k, :][:, None]          # (tm, 1)
+    sb_k = sb[k, :][None, :]          # (1, tn)
 
     @pl.when(k == 0)
     def _():
@@ -138,7 +145,7 @@ def _kernel(asl, bsl, sa, sb, outh, outl, acc_s, acc_c, acc_cc):
             else:
                 l = l + d
 
-    sc = sa[:] * sb[:]          # (TM,1)*(1,TN): exact powers of two
+    sc = sa_k * sb_k            # (TM,1)*(1,TN): exact powers of two
     h = h * sc
     l = l * sc
 
@@ -159,7 +166,8 @@ def _kernel(asl, bsl, sa, sb, outh, outl, acc_s, acc_c, acc_cc):
 def _dword_matmul_pair(asl, sa, bsl, sb, tm: int, tn: int):
     _, M, K = asl.shape
     _, _, N = bsl.shape
-    grid = (M // tm, N // tn, K // KB)
+    n_kb = K // KB
+    grid = (M // tm, N // tn, n_kb)
 
     with jax.enable_x64(False):  # i64 index-map constants break Mosaic
         outh, outl = pl.pallas_call(
@@ -170,9 +178,9 @@ def _dword_matmul_pair(asl, sa, bsl, sb, tm: int, tn: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((NSLICE, KB, tn), lambda i, j, k: (0, k, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tm, 1), lambda i, j, k: (i, k),
+                pl.BlockSpec((n_kb, tm), lambda i, j, k: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tn), lambda i, j, k: (k, j),
+                pl.BlockSpec((n_kb, tn), lambda i, j, k: (0, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

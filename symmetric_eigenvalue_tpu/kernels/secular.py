@@ -3,8 +3,8 @@
 This replaces the reference's ``computeEigenvalues`` (eigenvalues.c:19-255):
 
   * z-deflation scan (eigenvalues.c:74-81)            -> relative-tolerance mask
-  * qsort + sequential Givens deflation (83-135)      -> argsort + lax.scan with a
-    fixed-shape rotation log
+  * qsort + sequential Givens deflation (83-135)      -> argsort + a static
+    binary wave-tree of batched rotations (log2(m) levels, fixed-shape log)
   * per-root serial bisection to 1e-14 (143-247)      -> all roots solved
     simultaneously by a safeguarded Newton iteration on the *shifted* secular
     function (LAPACK dlaed4-style: work in tau = lambda - d_nearest so pole
@@ -103,57 +103,89 @@ def map_slot_blocks(fn, m: int, block: int, mesh=None):
     return chunked(jnp.arange(m, dtype=i32))
 
 
-def _deflation_scan(ds, zs, defl0, tol):
-    """Sequential Givens deflation over ascending poles (ref eigenvalues.c:98-135).
+def _deflation_tree(ds, zs, defl0, tol):
+    """Wave-tree Givens deflation over ascending poles.
 
-    Chained semantics: the running "previous active" element is rotated against the
-    current one when the induced off-diagonal |c*s*(d_cur - d_prev)| <= tol; the
-    earlier element is deflated, the survivor accumulates the z-mass and both pole
-    values move (c^2 d_a + s^2 d_b / s^2 d_a + c^2 d_b), exactly as the reference.
+    The reference (eigenvalues.c:98-135) and LAPACK dlaed2 walk the sorted
+    poles sequentially, rotating the running "previous active" element into
+    the current one when the induced off-diagonal |c*s*(d_b - d_a)| stays
+    under tol.  A sequential chain is latency-bound on TPU: at m=16384 the
+    lax.scan version costs ~960 ms (~59 us/step) — half the upsweep.
+
+    Deflation is a *heuristic*: any set of rotations that each individually
+    satisfy the tolerance test is equally correct (the skipped ones merely
+    stay active).  So the chain is replaced by a static binary tree of
+    ceil(log2(m)) batched levels: level l pairs, within every aligned block
+    of 2^(l+1) slots, the LAST active slot of the left half with the FIRST
+    active slot of the right half — every adjacent-active pair is examined
+    at exactly the level where its block boundary merges, and all rotations
+    within a level touch disjoint slots, so each level is one vectorized
+    gather/rotate/scatter.  The earlier pole deflates and the survivor
+    accumulates the z-mass (c^2 d_a + s^2 d_b / s^2 d_a + c^2 d_b), exactly
+    as the reference's chain step.  Rotation waves for the replay
+    (kernels/assemble.py) are simply the tree levels — disjoint by
+    construction, with nwave <= ceil(log2(m)).
     """
     m = ds.shape[0]
     i32 = jnp.int32
+    dt = ds.dtype
+    L = max(1, (m - 1).bit_length())     # ceil(log2(m))
+    M2 = 1 << L
 
-    def body(carry, t):
-        d, z, defl, prev, nrot, ra, rb, rc, rs, rw, lastwave = carry
-        dt = d[t]
-        zt = z[t]
-        has_prev = prev >= 0
-        pc = jnp.maximum(prev, 0)
-        dp = d[pc]
-        zp = z[pc]
-        r = jnp.sqrt(zp * zp + zt * zt)
-        rsafe = jnp.where(r > 0, r, 1.0)
-        c = jnp.where(r > 0, zt / rsafe, 1.0)
-        s = jnp.where(r > 0, zp / rsafe, 0.0)
-        cur_active = ~defl[t]
-        do_rot = has_prev & cur_active & (jnp.abs(c * s * (dt - dp)) <= tol)
-        d = d.at[pc].set(jnp.where(do_rot, c * c * dp + s * s * dt, dp))
-        d = d.at[t].set(jnp.where(do_rot, s * s * dp + c * c * dt, dt))
-        z = z.at[pc].set(jnp.where(do_rot, 0.0, zp))
-        z = z.at[t].set(jnp.where(do_rot, r, zt))
-        defl = defl.at[pc].set(jnp.where(do_rot, True, defl[pc]))
-        # wave = chain depth: one more than the last rotation touching either
-        # index (only the survivor chain can be shared)
-        wave = jnp.maximum(lastwave[pc], lastwave[t]) + 1
-        lastwave = lastwave.at[t].set(jnp.where(do_rot, wave, lastwave[t]))
-        ra = ra.at[nrot].set(jnp.where(do_rot, prev.astype(i32), ra[nrot]))
-        rb = rb.at[nrot].set(jnp.where(do_rot, t.astype(i32), rb[nrot]))
-        rc = rc.at[nrot].set(jnp.where(do_rot, c, rc[nrot]))
-        rs = rs.at[nrot].set(jnp.where(do_rot, s, rs[nrot]))
-        rw = rw.at[nrot].set(jnp.where(do_rot, wave, rw[nrot]))
-        nrot = nrot + do_rot.astype(i32)
-        prev = jnp.where(cur_active, t.astype(i32), prev)
-        return (d, z, defl, prev, nrot, ra, rb, rc, rs, rw, lastwave), None
+    pad = M2 - m
+    if pad:
+        ds = jnp.concatenate([ds, jnp.zeros((pad,), dt)])
+        zs = jnp.concatenate([zs, jnp.zeros((pad,), dt)])
+        defl0 = jnp.concatenate([defl0, jnp.ones((pad,), jnp.bool_)])
 
-    carry0 = (ds, zs, defl0, jnp.int32(-1), jnp.int32(0),
-              jnp.zeros(m, i32), jnp.zeros(m, i32),
-              jnp.zeros(m, ds.dtype), jnp.zeros(m, ds.dtype),
-              jnp.zeros(m, i32), jnp.zeros(m, i32))
-    (d, z, defl, _, nrot, ra, rb, rc, rs, rw, lastwave), _ = lax.scan(
-        body, carry0, jnp.arange(m, dtype=i32))
-    nwave = jnp.max(lastwave)
-    return d, z, defl, (ra, rb, rc, rs, rw, nrot, nwave)
+    d, z, defl = ds, zs, defl0
+    # dense rotation log: masked-out writes dump into slot m (trimmed after)
+    ra = jnp.zeros(m + 1, i32)
+    rb = jnp.zeros(m + 1, i32)
+    rc = jnp.zeros(m + 1, dt)
+    rs = jnp.zeros(m + 1, dt)
+    rw = jnp.zeros(m + 1, i32)
+    nrot = jnp.int32(0)
+
+    for lvl in range(L):
+        B = 1 << (lvl + 1)
+        half = B >> 1
+        nb = M2 // B
+        act = (~defl).reshape(nb, B)
+        ih = jnp.arange(half, dtype=i32)
+        la = jnp.max(jnp.where(act[:, :half], ih[None, :], -1), axis=1)
+        fi = jnp.min(jnp.where(act[:, half:], ih[None, :], half), axis=1)
+        have = (la >= 0) & (fi < half)
+        base = jnp.arange(nb, dtype=i32) * B
+        a = base + jnp.maximum(la, 0)
+        b = base + half + jnp.minimum(fi, half - 1)
+        da = d[a]
+        db = d[b]
+        za = z[a]
+        zb = z[b]
+        r = jnp.sqrt(za * za + zb * zb)
+        rsafe = jnp.where(r > 0, r, jnp.ones_like(r))
+        c = jnp.where(r > 0, zb / rsafe, jnp.ones_like(r))
+        s = jnp.where(r > 0, za / rsafe, jnp.zeros_like(r))
+        do = have & (r > 0) & (jnp.abs(c * s * (db - da)) <= tol)
+        d = d.at[a].set(jnp.where(do, c * c * da + s * s * db, da))
+        d = d.at[b].set(jnp.where(do, s * s * da + c * c * db, db))
+        z = z.at[a].set(jnp.where(do, jnp.zeros_like(za), za))
+        z = z.at[b].set(jnp.where(do, r, zb))
+        defl = defl.at[a].set(defl[a] | do)
+        # pack this level's rotations densely after the previous levels'
+        pos = nrot + jnp.cumsum(do.astype(i32)) - 1
+        pos = jnp.where(do, pos, m)
+        ra = ra.at[pos].set(jnp.where(do, a, ra[pos]))
+        rb = rb.at[pos].set(jnp.where(do, b, rb[pos]))
+        rc = rc.at[pos].set(jnp.where(do, c, rc[pos]))
+        rs = rs.at[pos].set(jnp.where(do, s, rs[pos]))
+        rw = rw.at[pos].set(jnp.where(do, jnp.int32(lvl + 1), rw[pos]))
+        nrot = nrot + jnp.sum(do.astype(i32))
+
+    nwave = jnp.max(rw[:m])
+    return (d[:m], z[:m], defl[:m],
+            (ra[:m], rb[:m], rc[:m], rs[:m], rw[:m], nrot, nwave))
 
 
 def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
@@ -394,7 +426,7 @@ def merge_partition(d, z, rho, *, eps: float,
     zs0 = jnp.where(zdef, jnp.zeros_like(zs), zs)
 
     # type-2 deflation: close poles, Givens rotations (ref eigenvalues.c:98-135)
-    d2, z2, defl, (ra, rb, rc, rs, rw, nrot, nwave) = _deflation_scan(
+    d2, z2, defl, (ra, rb, rc, rs, rw, nrot, nwave) = _deflation_tree(
         ds, zs0, zdef, tol)
 
     # stable partition: active slots first
