@@ -34,7 +34,7 @@ def _warn_pallas_fallback(m: int, c: int) -> None:
         _warned_fallback.add(key)
         import sys
         print(f"note: pallas cauchy_matmul fallback to XLA path for "
-              f"shape m={m}, C={c} (needs m%512==0, C%512==0, m>=512)",
+              f"shape m={m}, C={c} (needs m%8==0 and C%512==0)",
               file=sys.stderr)
 
 

@@ -79,9 +79,14 @@ def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
 
     poles/shift_val/tau: f64 (m,); zhat/ncolinv: (m,) any float; X: (m, C) f32.
     Shapes must tile evenly (caller falls back to the XLA path otherwise).
+    Small merges (m < ti) run with full-m tiles — the deep tree levels
+    (m = 64..256) would otherwise fall back to the XLA emulated-f64
+    generate-then-dot path, ~0.14 s per level at n=16384.
     """
     m = poles.shape[0]
     C = X.shape[1]
+    if m < ti:
+        tj = ti = m
     ph, plo = split_f64(poles)
     svh, svl = split_f64(shift_val)
     th, tl = split_f64(tau)
@@ -124,4 +129,6 @@ def _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X, tj, ti, tc, m, C):
 
 
 def supported(m: int, C: int, tj=256, ti=512, tc=512) -> bool:
-    return m % tj == 0 and m % ti == 0 and C % tc == 0 and m >= ti
+    if m < ti:                      # full-m tiles for small merges
+        return m % 8 == 0 and C % tc == 0
+    return m % tj == 0 and m % ti == 0 and C % tc == 0

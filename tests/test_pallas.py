@@ -54,3 +54,23 @@ def test_supported_predicate():
     assert cm.supported(2048, 4096)
     assert not cm.supported(100, 4096)
     assert not cm.supported(2048, 100)
+
+
+def test_cauchy_matmul_small_m(interpreted, rng):
+    # deep-tree levels: m < 512 runs with full-m tiles (no XLA fallback)
+    m, C = 64, 512
+    poles = np.sort(rng.standard_normal(m))
+    tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
+    shift_val = poles.copy()
+    zhat = rng.standard_normal(m) * 0.1
+    ncolinv = np.abs(rng.standard_normal(m)) + 0.1
+    X = rng.standard_normal((m, C)).astype(np.float32)
+    Y = np.asarray(cm.cauchy_matmul(
+        jnp.asarray(poles), jnp.asarray(shift_val), jnp.asarray(tau),
+        jnp.asarray(zhat), jnp.asarray(ncolinv), jnp.asarray(X)))
+    den = (poles[:, None] - shift_val[None, :]) - tau[None, :]
+    M = (zhat[:, None] / den) * ncolinv[None, :]
+    Yref = M @ X.astype(np.float64)
+    rel = np.abs(Y - Yref).max() / np.abs(Yref).max()
+    assert cm.supported(m, C)
+    assert rel < 1e-5

@@ -83,3 +83,28 @@ def test_risky_column_selection():
     # threshold scales with config factor
     cfg2 = SolverConfig(refine_risky_gap_factor=1e9)
     assert risky_columns(lam2, norm_t, cfg2).all()
+
+
+def test_blocked_solver_matches_dense(rng):
+    """Spike-style partitioned solver vs dense oracle, incl. near-eigenvalue
+    shifts (the inverse-iteration regime) and a non-multiple-of-nb size."""
+    import numpy as np
+    from symmetric_eigenvalue_tpu.kernels.refine import (
+        solve_shifted_tridiagonal_blocked)
+
+    for n, nb in [(300, 64), (517, 128)]:
+        d = rng.standard_normal(n) * 2
+        e = rng.standard_normal(n - 1)
+        T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+        w = np.linalg.eigvalsh(T)
+        lam = np.concatenate([rng.standard_normal(4) * 2,
+                              w[:2] + 1e-10, w[-2:] - 1e-13])
+        B = rng.standard_normal((n, lam.shape[0]))
+        X = np.asarray(jax.jit(
+            lambda d, e, l, B: solve_shifted_tridiagonal_blocked(
+                jnp.asarray(d), jnp.asarray(e), jnp.asarray(l),
+                jnp.asarray(B), nb=nb))(d, e, lam, B))
+        for i in range(lam.shape[0]):
+            r = (T - lam[i] * np.eye(n)) @ X[:, i] - B[:, i]
+            rel = np.abs(r).max() / max(np.abs(X[:, i]).max(), 1.0)
+            assert rel < 1e-13, (n, nb, i, rel)

@@ -73,12 +73,29 @@ def check_dword_matvec(n=4096, seed=0):
     return diff / scale
 
 
+def check_dword_matmul(M=2048, K=512, N=2048, seed=0):
+    """MXU-sliced f64 GEMM vs the XLA emulated-f64 dot."""
+    from symmetric_eigenvalue_tpu.kernels.pallas.dword_matmul import (
+        dword_matmul)
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((M, K))
+    B = rng.standard_normal((K, N))
+    Y = np.asarray(dword_matmul(jnp.asarray(A), jnp.asarray(B)))
+    Yx = np.asarray(jax.jit(jnp.matmul)(jnp.asarray(A), jnp.asarray(B)))
+    scale = np.abs(A) @ np.abs(B)
+    rel = (np.abs(Y - Yx) / np.maximum(scale, 1e-30)).max()
+    print(f"dword_matmul    {M}x{K}x{N}: max|pallas-xla|/(|A||B|)={rel:.3e}")
+    return rel
+
+
 if __name__ == "__main__":
     if jax.default_backend() != "tpu":
         print(f"backend is {jax.default_backend()}, not tpu — aborting")
         sys.exit(1)
     r1 = check_cauchy()
+    r1b = check_cauchy(m=64, C=2048, seed=1)   # small-m full-tile path
     r2 = check_dword_matvec()
-    ok = r1 < 1e-6 and r2 < 1e-12
+    r3 = check_dword_matmul()
+    ok = r1 < 1e-6 and r1b < 1e-6 and r2 < 1e-12 and r3 < 1e-12
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)
