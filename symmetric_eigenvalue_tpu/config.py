@@ -67,6 +67,12 @@ class SolverConfig:
     use_gu_eisenstat: bool = True
     block_size: int = 2048
     vec_chunk: int = 8192
+    # refine_chunk: column chunk for the inverse-iteration passes.  The
+    #   Spike-style blocked solver (kernels/refine.py) stacks three
+    #   right-hand sides and keeps LU factors + transformed rhs live: peak
+    #   ~200 bytes per (row, column) element, so 2048 columns at n=16384 is
+    #   ~6.7 GB — 8192 (vec_chunk) would be ~27 GB and OOM a 16 GB chip.
+    refine_chunk: int = 2048
     # mixed precision: run the downsweep's big matmuls in float32 (full MXU
     # rate, ~8x the emulated-f64 dot) and restore working-precision residuals
     # with one f64 inverse-iteration pass + cluster re-orthonormalization
@@ -124,6 +130,7 @@ class SolverConfig:
                      self.unit_roundoff, self.deflation_factor,
                      self.max_secular_iters, self.secular_tol_factor,
                      self.use_gu_eisenstat, self.block_size, self.vec_chunk,
+                     self.refine_chunk,
                      self.mixed_precision_vectors, self.refine_steps,
                      self.refine_risky_gap_factor, self.cluster_gap_factor))
 

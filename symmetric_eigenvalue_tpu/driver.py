@@ -182,7 +182,8 @@ def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None, block=2048):
                  (None, 3), 3)(reps[li], X)
         X = X.reshape(k * m, C)
     X = X.reshape(plan.num_leaves, plan.leaf_pad, C)
-    X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic", Q, Xb),
+    X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic", Q, Xb,
+                                      precision=jax.lax.Precision.HIGHEST),
              (None, 3), 3)(Q_leaf, X)
     X = X.reshape(plan.padded_n, C)
     return X[jnp.asarray(plan.row_map())]             # drop pad rows -> (n, C)
@@ -341,8 +342,10 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
 
     def leaf_step(Q, X):
         X = X.reshape(plan.num_leaves, plan.leaf_pad, ncols)
+        # HIGHEST: TPU's default f32 contraction is a single bf16 pass
         X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic",
-                                          Q.astype(Xb.dtype), Xb),
+                                          Q.astype(Xb.dtype), Xb,
+                                          precision=jax.lax.Precision.HIGHEST),
                  (None, 3), 3)(Q, X)
         X = X.reshape(plan.padded_n, ncols)
         return X[jnp.asarray(plan.row_map())]
@@ -389,7 +392,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
     lam_sel = lam[sel]
     C = int(sel.shape[0])
     n = int(d.shape[0])
-    chunk = max(1, config.vec_chunk)
+    chunk = max(1, min(config.vec_chunk, config.refine_chunk))
 
     def one_pass(lam_c, V_c):
         nc = int(lam_c.shape[0])

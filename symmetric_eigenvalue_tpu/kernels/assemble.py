@@ -202,8 +202,11 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
         denom = _denom_block(rep, rows, slots)
         Mb = (rep.zhat[rows][:, None] / denom) * ncol_inv[None, :]
         # mixed precision: U entries are computed in f64 (near-pole safety)
-        # and cast so the matmul runs at the MXU's native f32 rate
-        yb = Mb.astype(Xs.dtype) @ Xs
+        # and cast so the matmul runs at the MXU's native f32 rate; HIGHEST
+        # because TPU's default f32 dot is a single bf16 pass (~4e-3 — would
+        # swamp the refinement's f32-grade contamination model)
+        yb = jnp.matmul(Mb.astype(Xs.dtype), Xs,
+                        precision=lax.Precision.HIGHEST)
         # inactive columns are e_slot: identity passthrough on inactive rows
         passthrough = (rows >= rep.K)[:, None]
         return yb + jnp.where(passthrough, Xs[rows], jnp.zeros_like(yb))
@@ -253,6 +256,22 @@ def rows_through_merge(rep: MergeRep, w, block: int = 2048):
     wp = w[:, rep.p12]
     wp = _replay_rotations_cols_t(rep, wp)
     wz = wp * rep.zhat[None, :]
+
+    use_pallas = False
+    if w.dtype == jnp.float64:
+        try:
+            use_pallas = jax.default_backend() == "tpu"
+        except Exception:
+            use_pallas = False
+    if use_pallas:
+        from .pallas.cauchy_rowsum import cauchy_rowsum, supported
+        if supported(m, w.shape[0]):
+            shift_val = rep.poles_sec[rep.shift_idx]
+            S = cauchy_rowsum(rep.poles_sec, shift_val, rep.tau, wz)
+            active = (jnp.arange(m, dtype=rep.colperm.dtype) < rep.K)[None, :]
+            y = jnp.where(active, S / rep.colnorm[None, :], wp)
+            return y[:, rep.colperm]
+
     rows = jnp.arange(m, dtype=rep.colperm.dtype)
 
     def col_block(slots):

@@ -120,11 +120,13 @@ def _block_lu_solve(db, eb, lam, rhs, tiny):
     """Pivoted LU solve of every block system (T_b - lam_i I) x = rhs.
 
     db (P, nb), eb (P, nb-1): per-block tridiagonal bands; lam (K,); rhs
-    (P, nb, K).  Partial pivoting between adjacent rows *within* each block;
-    pivots clamped at +-tiny.  Returns the true (unscaled) solutions — block
-    lengths are short (nb ~ 128), so even a clamped-pivot blowup stays at
-    ~1/eps ~ 2^48 and a double cascade at 2^96, comfortably inside the f64
-    range; per-step soft clamps bound the pathological triple-cascade case.
+    (P, nb, R, K) — R right-hand sides *sharing* each column's shift, so the
+    LU factors are computed (and stored) once.  Partial pivoting between
+    adjacent rows *within* each block; pivots clamped at +-tiny.  Returns the
+    true (unscaled) solutions — block lengths are short (nb ~ 128), so even a
+    clamped-pivot blowup stays at ~1/eps ~ 2^48 and a double cascade at
+    2^96, comfortably inside the f64 range; per-step soft clamps bound the
+    pathological triple-cascade case.
     """
     P, nb = db.shape
     K = lam.shape[0]
@@ -138,7 +140,7 @@ def _block_lu_solve(db, eb, lam, rhs, tiny):
     e_ext = jnp.concatenate([eb, jnp.zeros((P, 1), dtype)], axis=1)
 
     def fwd(carry, inp):
-        a, c, r = carry                      # (P, K) diag/super/rhs of row j
+        a, c, r = carry          # (P, K) diag/super; (P, R, K) rhs of row j
         sub, a0n, c0n, rn = inp
         swap = jnp.abs(sub) > jnp.abs(a)
         piv = clamp_piv(jnp.where(swap, sub, a))
@@ -146,20 +148,22 @@ def _block_lu_solve(db, eb, lam, rhs, tiny):
         ud = piv
         u1 = jnp.where(swap, a0n, c)
         u2 = jnp.where(swap, c0n, jnp.zeros_like(c))
-        r_j = jnp.where(swap, rn, r)
+        sw = swap[:, None, :]
+        ml = mlt[:, None, :]
+        r_j = jnp.where(sw, rn, r)
         a_new = jnp.where(swap, c - mlt * a0n, a0n - mlt * c)
         c_new = jnp.where(swap, -mlt * c0n, c0n)
-        r_new = jnp.where(swap, r - mlt * rn, rn - mlt * r)
+        r_new = jnp.where(sw, r - ml * rn, rn - ml * r)
         return (a_new, c_new, r_new), (ud, u1, u2, r_j)
 
     a0 = db[:, 0, None] - lam[None, :]                      # (P, K)
     c0 = jnp.broadcast_to(e_ext[:, 0, None], (P, K)).astype(dtype)
-    r0 = rhs[:, 0, :]
+    r0 = rhs[:, 0]                                          # (P, R, K)
     # lam-independent per-row bands ride as (P, 1) and broadcast in the body
     subs = jnp.moveaxis(eb[:, :, None], 1, 0)               # (nb-1, P, 1)
     d_rows = jnp.moveaxis(db[:, 1:, None], 1, 0)
     c_rows = jnp.moveaxis(e_ext[:, 1:, None], 1, 0)
-    r_next = jnp.moveaxis(rhs[:, 1:, :], 1, 0)
+    r_next = jnp.moveaxis(rhs[:, 1:], 1, 0)                 # (nb-1, P, R, K)
 
     def fwd_wrap(carry, inp):
         sub, d_j, c_j, rn = inp
@@ -168,20 +172,21 @@ def _block_lu_solve(db, eb, lam, rhs, tiny):
     (a_f, _, r_f), (ud, u1, u2, rr) = lax.scan(
         fwd_wrap, (a0, c0, r0), (subs, d_rows, c_rows, r_next))
 
-    x_last = r_f / clamp_piv(a_f)
+    x_last = r_f / clamp_piv(a_f)[:, None, :]
 
     def bwd(carry, inp):
         x1, x2 = carry
         ud_j, u1_j, u2_j, r_j = inp
-        x = (r_j - u1_j * x1 - u2_j * x2) / ud_j
+        x = (r_j - u1_j[:, None, :] * x1 - u2_j[:, None, :] * x2) \
+            / ud_j[:, None, :]
         x = jnp.clip(x, -big, big)
         return (x, x1), x
 
     x_last = jnp.clip(x_last, -big, big)
     (_, _), xs = lax.scan(bwd, (x_last, jnp.zeros_like(x_last)),
                           (ud, u1, u2, rr), reverse=True)
-    xs = jnp.concatenate([xs, x_last[None]], axis=0)        # (nb, P, K)
-    return jnp.moveaxis(xs, 0, 1)                           # (P, nb, K)
+    xs = jnp.concatenate([xs, x_last[None]], axis=0)    # (nb, P, R, K)
+    return jnp.moveaxis(xs, 0, 1)                       # (P, nb, R, K)
 
 
 def solve_shifted_tridiagonal_blocked(d, e, lam, B, nb: int = 128):
@@ -225,22 +230,22 @@ def solve_shifted_tridiagonal_blocked(d, e, lam, B, nb: int = 128):
     eb = e_all[:, : nb - 1]                      # intra-block bands
     e_cross = e_all[:, nb - 1]                   # (P,) coupler below block b
 
-    # three right-hand sides per block: the rhs itself, and unit loads at the
-    # first/last row (responses to the neighbor couplers)
-    unit_f = jnp.zeros((P, nb, 1), dtype).at[:, 0, 0].set(1.0)
-    unit_l = jnp.zeros((P, nb, 1), dtype).at[:, nb - 1, 0].set(1.0)
+    # three right-hand sides per block, sharing each column's shift: the rhs
+    # itself, and unit loads at the first/last row (responses to the
+    # neighbor couplers)
+    unit_f = jnp.zeros((P, nb, 1, 1), dtype).at[:, 0, 0, 0].set(1.0)
+    unit_l = jnp.zeros((P, nb, 1, 1), dtype).at[:, nb - 1, 0, 0].set(1.0)
     rhs = jnp.concatenate(
-        [B.reshape(P, nb, K),
-         jnp.broadcast_to(unit_f, (P, nb, K)),
-         jnp.broadcast_to(unit_l, (P, nb, K))], axis=2)
-    # the unit-load solves share each data column's shift
-    sol = _block_lu_solve(db, eb, jnp.tile(lam, 3), rhs, tiny)
-    u = sol[:, :, :K]
+        [B.reshape(P, nb, 1, K),
+         jnp.broadcast_to(unit_f, (P, nb, 1, K)),
+         jnp.broadcast_to(unit_l, (P, nb, 1, K))], axis=2)
+    sol = _block_lu_solve(db, eb, lam, rhs, tiny)
+    u = sol[:, :, 0]
     # p_b: response to x[first-1] through coupler e_cross[b-1];
     # q_b: response to x[last+1] through coupler e_cross[b]
     ec_above = jnp.concatenate([jnp.zeros((1,), dtype), e_cross[:-1]])
-    p = sol[:, :, K:2 * K] * ec_above[:, None, None]
-    q = sol[:, :, 2 * K:] * e_cross[:, None, None]
+    p = sol[:, :, 1] * ec_above[:, None, None]
+    q = sol[:, :, 2] * e_cross[:, None, None]
 
     # interface unknowns y_b = (F_b, L_b) = x at block b's first/last row:
     #   y_b + Lo_b y_{b-1} + Up_b y_{b+1} = u_b(first/last)

@@ -74,3 +74,28 @@ def test_cauchy_matmul_small_m(interpreted, rng):
     rel = np.abs(Y - Yref).max() / np.abs(Yref).max()
     assert cm.supported(m, C)
     assert rel < 1e-5
+
+
+def test_cauchy_rowsum_interpret(rng):
+    import symmetric_eigenvalue_tpu.kernels.pallas.cauchy_rowsum as crs
+    from jax.experimental import pallas as _pl
+    orig = _pl.pallas_call
+    crs.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        for m in (64, 512):
+            poles = np.sort(rng.standard_normal(m))
+            tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
+            tau[m // 3] = 1e-13           # near-pole root
+            shift_val = poles.copy()
+            wz = rng.standard_normal((2, m)) * 0.2
+            S = np.asarray(crs.cauchy_rowsum(
+                jnp.asarray(poles), jnp.asarray(shift_val), jnp.asarray(tau),
+                jnp.asarray(wz)))
+            den = (poles[:, None] - shift_val[None, :]) - tau[None, :]
+            ref = wz @ (1.0 / den)
+            # f64-grade: the sums feed the next level's z-vector
+            rel = np.abs(S - ref).max() / np.abs(ref).max()
+            assert rel < 1e-13, (m, rel)
+            assert crs.supported(m, 2)
+    finally:
+        crs.pl.pallas_call = orig

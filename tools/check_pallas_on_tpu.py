@@ -45,7 +45,9 @@ def check_cauchy(m=16384, C=2048, seed=0):
     def xla_path(poles, shift_val, tau, zhat, ncolinv, X):
         den = (poles[:, None] - shift_val[None, :]) - tau[None, :]
         M = (zhat[:, None] / den) * ncolinv[None, :]
-        return M.astype(jnp.float32) @ X
+        # HIGHEST: the default f32 dot is a single bf16 MXU pass (~4e-3)
+        return jnp.matmul(M.astype(jnp.float32), X,
+                          precision=jax.lax.Precision.HIGHEST)
 
     Yx = np.asarray(xla_path(
         jnp.asarray(poles), jnp.asarray(shift_val), jnp.asarray(tau),
