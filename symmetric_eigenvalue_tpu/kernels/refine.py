@@ -11,6 +11,8 @@ shifts, plus dstein-style cluster re-orthonormalization handled by the driver.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -347,8 +349,40 @@ def cluster_segments(lam, gap_tol):
     return segs
 
 
+_MAX_BATCH_W = 256
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
+    """Batched CholeskyQR over every cluster segment in one dispatch.
+
+    After refinement the cluster columns are near-orthonormal (Gram = I+eps),
+    so cond(S)~1 and a single CholeskyQR reaches working-precision
+    orthogonality — no per-segment QR dispatches.  Pad columns carry an
+    identity Gram block and pass through untouched."""
+
+    def fn(V, starts, widths, colowner, colpos):
+        cols = starts[:, None] + jnp.arange(wmax)[None, :]       # (nseg, wmax)
+        colmask = jnp.arange(wmax)[None, :] < widths[:, None]
+        cols_safe = jnp.clip(cols, 0, C - 1)
+        S = V[:, cols_safe]                   # (n, nseg, wmax)
+        S = jnp.moveaxis(S, 0, 1) * colmask[:, None, :]
+        G = jnp.einsum("bnw,bnv->bwv", S, S)
+        eye_pad = jnp.where(colmask, 0.0, 1.0)
+        G = G + jnp.eye(wmax, dtype=V.dtype)[None] * eye_pad[:, :, None]
+        L = jnp.linalg.cholesky(G)
+        Y = jax.lax.linalg.triangular_solve(
+            L, S, left_side=False, lower=True, transpose_a=True)
+        # scatter back: column j of V <- Y[colowner[j], :, colpos[j]]
+        own = jnp.maximum(colowner, 0)
+        repl = Y[own, :, colpos]              # (C, n)
+        return jnp.where((colowner >= 0)[None, :], repl.T, V)
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8):
-    """QR-orthonormalize eigenvector groups whose eigenvalue gaps are below
+    """Orthonormalize eigenvector groups whose eigenvalue gaps are below
     gap_factor * ||T|| (inverse iteration cannot separate them; any orthonormal
     basis of the cluster subspace has an equally small residual).
 
@@ -356,14 +390,45 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8):
     f32-downsweep contamination is min(1, eps_f32*||T||/gap); each pass
     multiplies it by (lambda_err/gap ~ 10*eps*||T||/gap).  Two passes push all
     gaps above ~1e-8*||T|| to <=1e-11 orthogonality, so only genuinely
-    (near-)degenerate groups below that need QR.  Keeping the threshold tight
-    matters: smooth spectra (Poisson) have thousands of gaps just above it and
-    every extra segment costs host-loop dispatches (observed 68s vs 5s at
-    n=16384 with a loose threshold)."""
+    (near-)degenerate groups below that need the orthonormalization.
+
+    All segments up to width 256 are processed in ONE batched CholeskyQR
+    dispatch (a host loop of per-segment QRs cost 2.6 s on the clustered
+    n=4096 bench — ~64 sequential emulated-f64 QR dispatches); oversized
+    segments (rare: a >256-fold degeneracy) fall back to explicit QR."""
     segs = cluster_segments(lam, gap_factor * norm_t)
     if not segs:
         return V
-    for s, t in segs:
+
+    import numpy as np
+    small = [(s, t) for (s, t) in segs if t - s <= _MAX_BATCH_W]
+    large = [(s, t) for (s, t) in segs if t - s > _MAX_BATCH_W]
+
+    if small:
+        n, C = int(V.shape[0]), int(V.shape[1])
+        nseg = len(small)
+        wmax = max(t - s for (s, t) in small)
+        # pad wmax/nseg to powers of two to bound recompilation
+        w2 = 1
+        while w2 < wmax:
+            w2 *= 2
+        g2 = 1
+        while g2 < nseg:
+            g2 *= 2
+        starts = np.zeros(g2, np.int64)
+        widths = np.zeros(g2, np.int64)
+        colowner = np.full(C, -1, np.int64)
+        colpos = np.zeros(C, np.int64)
+        for i, (s, t) in enumerate(small):
+            starts[i] = s
+            widths[i] = t - s
+            colowner[s:t] = i
+            colpos[s:t] = np.arange(t - s)
+        V = _compiled_cluster_orth(n, C, g2, w2)(
+            V, jnp.asarray(starts), jnp.asarray(widths),
+            jnp.asarray(colowner), jnp.asarray(colpos))
+
+    for s, t in large:
         q, _ = jnp.linalg.qr(V[:, s:t])
         V = V.at[:, s:t].set(q)
     return V
