@@ -257,8 +257,10 @@ def rows_through_merge(rep: MergeRep, w, block: int = 2048):
     wp = _replay_rotations_cols_t(rep, wp)
     wz = wp * rep.zhat[None, :]
 
+    import os
     use_pallas = False
-    if w.dtype == jnp.float64:
+    if (w.dtype == jnp.float64
+            and os.environ.get("SYMEIG_DISABLE_ROWSUM") != "1"):
         try:
             use_pallas = jax.default_backend() == "tpu"
         except Exception:

@@ -70,16 +70,24 @@ def _kernel(ph, plo, svh, svl, th, tl, wzh, wzl, out, acc_s, acc_c, acc_cc):
     c_ = c_ + e_
     s_, e_ = _two_sum(s_, -(d2 * q2))
     c_ = c_ + e_ - dl * r0
-    r1 = r0 * s_ + r0 * c_
+    # second-order term: recip = r0 (1 + e + e^2 + ...); without e^2 the
+    # reciprocal is only ~2^-46 and the accumulated boundary-row error
+    # reaches ~4e-13*||T|| at n=16384 (measured vs the analytic Poisson
+    # spectrum) — the e^2 term restores the platform's 2^-47..48 floor
+    r1 = r0 * s_ + r0 * c_ + r0 * (s_ * s_)
 
     ti = pj_h.shape[0]
     for r in range(_R):
         wh = wzh[r, :][:, None]       # (TJ, 1)
         wl = wzl[r, :][:, None]
         m1, m2 = _mask_split(wh)
-        main = wh * r0
-        e_main = ((m1 * q1 - main) + m1 * q2 + m2 * q1) + m2 * q2
-        tail = e_main + (wh * r1 + wl * r0)
+        # all partial products are exact (12x12-bit significands), so no
+        # compiler FMA contraction can change any value — never form the
+        # rounded wh*r0 (see dword_matvec.py; the Dekker-style error
+        # reconstruction is exactly what contraction silently breaks)
+        q_, eq = _two_sum(m1 * q2, m2 * q1)
+        main, eh = _two_sum(m1 * q1, q_)
+        tail = ((m2 * q2 + eq) + eh) + (wh * r1 + wl * r0)
         s = acc_s[r * 8:(r + 1) * 8, :]
         c = acc_c[r * 8:(r + 1) * 8, :]
         cc = acc_cc[r * 8:(r + 1) * 8, :]

@@ -90,6 +90,35 @@ def check_dword_matmul(M=2048, K=512, N=2048, seed=0):
     return rel
 
 
+def check_cauchy_rowsum(m=16384, seed=0):
+    """Fused boundary-row sums vs the XLA emulated-f64 path — f64-grade
+    required (feeds the next level's z-vector)."""
+    from symmetric_eigenvalue_tpu.kernels.pallas.cauchy_rowsum import (
+        cauchy_rowsum)
+    rng = np.random.default_rng(seed)
+    poles = np.sort(rng.standard_normal(m))
+    tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
+    tau[m // 3] = 1e-13
+    shift_val = poles.copy()
+    wz = rng.standard_normal((2, m)) * 0.2
+    S = np.asarray(cauchy_rowsum(
+        jnp.asarray(poles), jnp.asarray(shift_val), jnp.asarray(tau),
+        jnp.asarray(wz)))
+
+    @jax.jit
+    def xla_path(poles, shift_val, tau, wz):
+        den = (poles[:, None] - shift_val[None, :]) - tau[None, :]
+        return wz @ (1.0 / den)
+
+    Sx = np.asarray(xla_path(
+        jnp.asarray(poles), jnp.asarray(shift_val), jnp.asarray(tau),
+        jnp.asarray(wz)))
+    scale = np.abs(Sx).max()
+    rel = np.abs(S - Sx).max() / scale
+    print(f"cauchy_rowsum   m={m}: max|pallas-xla|/scale={rel:.3e}")
+    return rel
+
+
 if __name__ == "__main__":
     if jax.default_backend() != "tpu":
         print(f"backend is {jax.default_backend()}, not tpu — aborting")
@@ -98,6 +127,8 @@ if __name__ == "__main__":
     r1b = check_cauchy(m=64, C=2048, seed=1)   # small-m full-tile path
     r2 = check_dword_matvec()
     r3 = check_dword_matmul()
-    ok = r1 < 1e-6 and r1b < 1e-6 and r2 < 1e-12 and r3 < 1e-12
+    r4 = check_cauchy_rowsum()
+    ok = (r1 < 1e-6 and r1b < 1e-6 and r2 < 1e-12 and r3 < 1e-12
+          and r4 < 1e-11)
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)
