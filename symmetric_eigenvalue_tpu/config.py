@@ -73,6 +73,21 @@ class SolverConfig:
     #   ~200 bytes per (row, column) element, so 2048 columns at n=16384 is
     #   ~6.7 GB — 8192 (vec_chunk) would be ~27 GB and OOM a 16 GB chip.
     refine_chunk: int = 2048
+    # refine_block / refine_block_alt: row-block sizes for the Spike-style
+    #   refinement solver, alternated between passes.  With a single size,
+    #   shifts resonant with the block spectra (all blocks of a
+    #   constant-coefficient T share eigenvalues: Poisson columns at index
+    #   ~k*(nb-1)) hit clamped pivots in every block at once and the solve
+    #   degrades; a second pass at a coprime-ish size is never resonant at
+    #   the same shifts (observed: 53 Poisson columns >1e-12*||T|| at nb=128
+    #   only).
+    refine_block: int = 128
+    refine_block_alt: int = 96
+    # refine_residual_factor: columns whose measured residual after the first
+    #   pass exceeds factor * eps * ||T|| join the second refinement pass
+    #   (catches solver-resonant columns whose eigenvalue gaps are wide —
+    #   gap-based selection alone misses them).
+    refine_residual_factor: float = 50.0
     # mixed precision: run the downsweep's big matmuls in float32 (full MXU
     # rate, ~8x the emulated-f64 dot) and restore working-precision residuals
     # with one f64 inverse-iteration pass + cluster re-orthonormalization
@@ -131,6 +146,8 @@ class SolverConfig:
                      self.max_secular_iters, self.secular_tol_factor,
                      self.use_gu_eisenstat, self.block_size, self.vec_chunk,
                      self.refine_chunk,
+                     self.refine_block, self.refine_block_alt,
+                     self.refine_residual_factor,
                      self.mixed_precision_vectors, self.refine_steps,
                      self.refine_risky_gap_factor, self.cluster_gap_factor))
 

@@ -182,8 +182,7 @@ def _downsweep(reps, Q_leaf, plan: TreePlan, sel, mesh=None, block=2048):
                  (None, 3), 3)(reps[li], X)
         X = X.reshape(k * m, C)
     X = X.reshape(plan.num_leaves, plan.leaf_pad, C)
-    X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic", Q, Xb,
-                                      precision=jax.lax.Precision.HIGHEST),
+    X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic", Q, Xb),
              (None, 3), 3)(Q_leaf, X)
     X = X.reshape(plan.padded_n, C)
     return X[jnp.asarray(plan.row_map())]             # drop pad rows -> (n, C)
@@ -342,10 +341,13 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
 
     def leaf_step(Q, X):
         X = X.reshape(plan.num_leaves, plan.leaf_pad, ncols)
-        # HIGHEST: TPU's default f32 contraction is a single bf16 pass
+        # HIGHEST only for f32: its default contraction is a single bf16 pass;
+        # emulated f64 is already multi-pass (and HIGHEST inflates its temps)
+        prec = (jax.lax.Precision.HIGHEST if vec_dtype == jnp.float32
+                else None)
         X = wrap(lambda Q, Xb: jnp.einsum("kij,kjc->kic",
                                           Q.astype(Xb.dtype), Xb,
-                                          precision=jax.lax.Precision.HIGHEST),
+                                          precision=prec),
                  (None, 3), 3)(Q, X)
         X = X.reshape(plan.padded_n, ncols)
         return X[jnp.asarray(plan.row_map())]
@@ -354,13 +356,13 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
     return plan, root_fn, level_fns, leaf_fn
 
 
-@functools.lru_cache(maxsize=16)
-def _compiled_refine(n: int, ncols: int, config: SolverConfig):
+@functools.lru_cache(maxsize=32)
+def _compiled_refine(n: int, ncols: int, config: SolverConfig, nb: int):
     from .kernels.refine import inverse_iteration
 
     def fn(d, e, lam_sel, V):
         # single pass; the driver decides how many passes each column gets
-        return inverse_iteration(d, e, lam_sel, V, steps=1)
+        return inverse_iteration(d, e, lam_sel, V, steps=1, block=nb)
 
     return jax.jit(fn, donate_argnums=(3,))
 
@@ -394,28 +396,35 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
     n = int(d.shape[0])
     chunk = max(1, min(config.vec_chunk, config.refine_chunk))
 
-    def one_pass(lam_c, V_c):
+    def one_pass(lam_c, V_c, nb):
         nc = int(lam_c.shape[0])
         if nc <= chunk:
-            return _compiled_refine(n, nc, config)(d, e, lam_c, V_c)
+            return _compiled_refine(n, nc, config, nb)(d, e, lam_c, V_c)
         parts = []
         for o in range(0, nc, chunk):
             w = min(chunk, nc - o)
-            parts.append(_compiled_refine(n, w, config)(
+            parts.append(_compiled_refine(n, w, config, nb)(
                 d, e, lam_c[o:o + w], V_c[:, o:o + w]))
         return jnp.concatenate(parts, axis=1)
 
     # first inverse-iteration pass over everything
-    V = one_pass(lam_sel, V)
+    V = one_pass(lam_sel, V, config.refine_block)
 
-    # Adaptive extra passes: only columns whose eigenvalue gaps the f32
+    # Adaptive extra passes, with the ALTERNATE solver block size (see
+    # SolverConfig.refine_block_alt): columns whose eigenvalue gaps the f32
     # downsweep cannot resolve (gap < ~100*eps_f32*||T||) start with O(1)
-    # intra-cluster mixing and need a second pass; everywhere else one pass
-    # already gives ~1e-11 orthogonality.
+    # intra-cluster mixing, and columns whose *measured* residual after the
+    # first pass is still above ~refine_residual_factor*eps*||T|| hit the
+    # solver's block-resonance (their gaps can be wide) — both sets get the
+    # second pass.
     norm_t = float(jnp.max(jnp.abs(lam)))
     lam_np = np.asarray(lam_sel)
     if config.refine_steps > 1 and C > 1:
         risky = risky_columns(lam_np, norm_t, config)
+        res1 = np.asarray(residual_norms(d, e, lam_sel, V))
+        thr_res = config.refine_residual_factor * config.eps() * \
+            max(norm_t, 1e-30)
+        risky = risky | (res1 > thr_res)
         idx = np.nonzero(risky)[0]
         if idx.size:
             # pad to a power-of-two bucket to bound recompilations
@@ -427,7 +436,15 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
             Vr = V[:, idx_j]
             lam_r = lam_sel[idx_j]
             for _ in range(config.refine_steps - 1):
-                Vr = one_pass(lam_r, Vr)
+                Vr = one_pass(lam_r, Vr, config.refine_block_alt)
+            # keep the BETTER of pre/post-pass per column: a column resonant
+            # with the alternate block size gets *degraded* by the extra pass
+            # (observed: Poisson columns at ~k*(alt_nb+1) block-eigenvalue
+            # spacings), so the pass must never be allowed to lose ground
+            res_b = np.asarray(residual_norms(d, e, lam_r, Vr))
+            improved = np.zeros(C, dtype=bool)
+            improved[idx] = res_b[: idx.size] < res1[idx]
+            keep = risky & improved
             # write back with gather+select: any large scatter busts the TPU's
             # 16MB scoped-VMEM limit in either orientation
             srcpos = np.zeros(C, np.int64)
@@ -435,7 +452,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
             V = jax.jit(
                 lambda V, Vr, mask, sp: jnp.where(mask[None, :],
                                                   Vr[:, sp], V))(
-                V, Vr, jnp.asarray(risky), jnp.asarray(srcpos))
+                V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
 
     return orthonormalize_clusters(lam_np, V, norm_t,
                                    gap_factor=config.cluster_gap_factor)

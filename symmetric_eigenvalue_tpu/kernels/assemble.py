@@ -203,10 +203,10 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
         Mb = (rep.zhat[rows][:, None] / denom) * ncol_inv[None, :]
         # mixed precision: U entries are computed in f64 (near-pole safety)
         # and cast so the matmul runs at the MXU's native f32 rate; HIGHEST
-        # because TPU's default f32 dot is a single bf16 pass (~4e-3 — would
-        # swamp the refinement's f32-grade contamination model)
-        yb = jnp.matmul(Mb.astype(Xs.dtype), Xs,
-                        precision=lax.Precision.HIGHEST)
+        # for f32 because TPU's default f32 dot is a single bf16 pass (~4e-3
+        # — would swamp the refinement's f32-grade contamination model)
+        prec = (lax.Precision.HIGHEST if Xs.dtype == jnp.float32 else None)
+        yb = jnp.matmul(Mb.astype(Xs.dtype), Xs, precision=prec)
         # inactive columns are e_slot: identity passthrough on inactive rows
         passthrough = (rows >= rep.K)[:, None]
         return yb + jnp.where(passthrough, Xs[rows], jnp.zeros_like(yb))
