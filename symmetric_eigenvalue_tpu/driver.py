@@ -32,6 +32,8 @@ from .config import DEFAULT_CONFIG, SolverConfig
 from .core.tearing import tear
 from .core.tree import TreePlan, build_plan
 from .core.tridiag import residual_norms
+
+_residual_norms_jit = jax.jit(residual_norms)
 from .dist.mesh import batch_mapped as _batch_mapped
 from .dist.mesh import replicated as _replicated
 from .kernels.assemble import (apply_u, apply_u_level, assemble_u,
@@ -419,9 +421,21 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
     # second pass.
     norm_t = float(jnp.max(jnp.abs(lam)))
     lam_np = np.asarray(lam_sel)
+    def residuals_chunked(lam_c, V_c):
+        # column-chunked: a full-width (n, C) f64 residual pass allocates
+        # several 2.1 GB temporaries at n=16384 and OOMs alongside the live
+        # downsweep buffers.  Chunk results stay on device and come back in
+        # ONE host fetch (each fetch costs ~33 ms on the tunneled platform).
+        out = []
+        for o in range(0, int(lam_c.shape[0]), chunk):
+            w = min(chunk, int(lam_c.shape[0]) - o)
+            out.append(_residual_norms_jit(
+                d, e, lam_c[o:o + w], V_c[:, o:o + w]))
+        return np.asarray(jnp.concatenate(out) if len(out) > 1 else out[0])
+
     if config.refine_steps > 1 and C > 1:
         risky = risky_columns(lam_np, norm_t, config)
-        res1 = np.asarray(residual_norms(d, e, lam_sel, V))
+        res1 = residuals_chunked(lam_sel, V)
         thr_res = config.refine_residual_factor * config.eps() * \
             max(norm_t, 1e-30)
         risky = risky | (res1 > thr_res)
@@ -441,7 +455,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
             # with the alternate block size gets *degraded* by the extra pass
             # (observed: Poisson columns at ~k*(alt_nb+1) block-eigenvalue
             # spacings), so the pass must never be allowed to lose ground
-            res_b = np.asarray(residual_norms(d, e, lam_r, Vr))
+            res_b = residuals_chunked(lam_r, Vr)
             improved = np.zeros(C, dtype=bool)
             improved[idx] = res_b[: idx.size] < res1[idx]
             keep = risky & improved
