@@ -50,8 +50,13 @@ def jacobi_eigh(A, max_sweeps: int = 30, tol_factor: float = 1e-14):
         return A[..., 0], jnp.ones_like(A)
     if b % 2:                      # odd leaf sizes: pad with a decoupled row
         A = jnp.pad(A, ((0, 0), (0, 1), (0, 1)))
-        big = jnp.max(jnp.abs(A), axis=(1, 2), keepdims=False)
-        A = A.at[:, b, b].set(4.0 * big + 4.0)
+        # Gershgorin row-sum bound: every true eigenvalue satisfies
+        # |lam| <= max_i sum_j |A_ij|, so the decoupled pad eigenvalue set
+        # just above it always sorts last (max|A| alone is NOT a spectral
+        # bound — an all-ones b=9 block has lam_max = 9 > 4*1+4's margin
+        # logic only by luck; row sums are a guarantee)
+        big = jnp.max(jnp.sum(jnp.abs(A), axis=2), axis=1)
+        A = A.at[:, b, b].set(big * (1.0 + 1e-3) + 1.0)
         lam, V = jacobi_eigh(A, max_sweeps, tol_factor)
         return lam[:, :b], V[:, :b, :b]
 

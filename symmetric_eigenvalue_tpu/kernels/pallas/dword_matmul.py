@@ -200,6 +200,14 @@ def dword_matmul(A, B, tm: int = _TM, tn: int = _TN):
 
     A (M, K), B (K, N) f64 (or f32).  Shapes are zero-padded to tiles
     internally; K is padded to a multiple of 128.
+
+    PRECONDITION: entries must be finite with |x| < 2^126 — the per-row
+    power-of-two normalization (``_pow2_ceil``) clamps its exponent at 254,
+    so rows containing inf/NaN or magnitudes >= ~2^127 silently break the
+    |normalized| <= 1 invariant the exact bf16 slicing relies on, degrading
+    the 2^-47 accuracy claim without any error.  The driver guarantees this
+    by prescaling every input to O(1) (see driver._solve); any new caller
+    must do the same.
     """
     M, K = A.shape
     K2, N = B.shape
@@ -217,11 +225,3 @@ def dword_matmul(A, B, tm: int = _TM, tn: int = _TN):
     return Y[:M, :N]
 
 
-def use_dword_matmul(*dims) -> bool:
-    """Whether the Pallas path should carry an f64 matmul of these dims."""
-    try:
-        if jax.default_backend() != "tpu":
-            return False
-    except Exception:  # pragma: no cover
-        return False
-    return all(d >= 1 for d in dims)

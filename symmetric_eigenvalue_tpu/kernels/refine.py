@@ -373,10 +373,21 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
         L = jnp.linalg.cholesky(G)
         Y = jax.lax.linalg.triangular_solve(
             L, S, left_side=False, lower=True, transpose_a=True)
+        # Guard: a (near-)singular Gram — columns the refinement could not
+        # separate — makes cholesky yield NaN, or finite Y with orthogonality
+        # only ~cond(S)*eps.  Verify the RESULT per segment (one cheap
+        # (w, w) Gram) and keep the original columns where it fails so the
+        # caller can run an explicit QR instead.
+        G2 = jnp.einsum("bnw,bnv->bwv", Y, Y)
+        G2 = G2 + jnp.eye(wmax, dtype=V.dtype)[None] * eye_pad[:, :, None]
+        err = jnp.max(jnp.abs(G2 - jnp.eye(wmax, dtype=V.dtype)[None]),
+                      axis=(1, 2))
+        seg_ok = jnp.all(jnp.isfinite(Y), axis=(1, 2)) & (err < 1e-8)
         # scatter back: column j of V <- Y[colowner[j], :, colpos[j]]
         own = jnp.maximum(colowner, 0)
         repl = Y[own, :, colpos]              # (C, n)
-        return jnp.where((colowner >= 0)[None, :], repl.T, V)
+        use = (colowner >= 0) & seg_ok[own]
+        return jnp.where(use[None, :], repl.T, V), seg_ok
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -424,9 +435,13 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8):
             widths[i] = t - s
             colowner[s:t] = i
             colpos[s:t] = np.arange(t - s)
-        V = _compiled_cluster_orth(n, C, g2, w2)(
+        V, seg_ok = _compiled_cluster_orth(n, C, g2, w2)(
             V, jnp.asarray(starts), jnp.asarray(widths),
             jnp.asarray(colowner), jnp.asarray(colpos))
+        # CholeskyQR failed (non-SPD Gram: columns the refinement could not
+        # separate) -> those segments kept their inputs; QR them explicitly
+        seg_ok_np = np.asarray(seg_ok[: nseg])
+        large = large + [seg for seg, ok in zip(small, seg_ok_np) if not ok]
 
     for s, t in large:
         q, _ = jnp.linalg.qr(V[:, s:t])
