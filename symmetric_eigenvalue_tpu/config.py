@@ -115,6 +115,23 @@ class SolverConfig:
     #   have thousands of gaps just above any loose threshold and every extra
     #   QR segment costs host-loop dispatches.
     cluster_gap_factor: float = 1e-8
+    # single_jit_max_n: largest n (with eigenvectors) the single-jit
+    #   ``solve_tridiagonal`` path handles itself; above it the call
+    #   auto-routes to the staged/column-chunked implementation.  ``None``
+    #   auto-detects: on TPU the whole-solve single jit OOMs at n=16384 f64
+    #   (XLA co-schedules several full-width eigenvector temporaries), so the
+    #   threshold is 8192 there and unlimited elsewhere.
+    single_jit_max_n: Optional[int] = None
+
+    def resolved_single_jit_max_n(self) -> int:
+        if self.single_jit_max_n is not None:
+            return int(self.single_jit_max_n)
+        try:
+            if jax.default_backend() == "tpu":
+                return 8192
+        except Exception:
+            pass
+        return 1 << 62
 
     def eps(self) -> float:
         if self.unit_roundoff is not None:
@@ -149,7 +166,8 @@ class SolverConfig:
                      self.refine_block, self.refine_block_alt,
                      self.refine_residual_factor,
                      self.mixed_precision_vectors, self.refine_steps,
-                     self.refine_risky_gap_factor, self.cluster_gap_factor))
+                     self.refine_risky_gap_factor, self.cluster_gap_factor,
+                     self.single_jit_max_n))
 
 
 DEFAULT_CONFIG = SolverConfig()

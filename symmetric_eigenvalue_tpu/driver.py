@@ -277,6 +277,16 @@ def solve_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
         nsel = int(sel_arr.shape[0])
     want_vectors = compute_vectors or (select is not None)
 
+    # Above the single-jit size limit (TPU: the whole-solve jit at n=16384 f64
+    # OOMs on HLO temporaries) route to the staged/column-chunked path — the
+    # public entry point must always work at the headline config (the
+    # reference's single entry point does, main.c:17).
+    if want_vectors and n > config.resolved_single_jit_max_n():
+        res, _ = solve_tridiagonal_staged(
+            d, e, config=config, compute_vectors=compute_vectors,
+            select=select, mesh=mesh)
+        return res
+
     mesh_key = (id(mesh), mesh) if mesh is not None else None
     fn, _ = _compiled_solver(n, config, want_vectors, nsel, mesh_key)
     lam, V = fn(d, e, sel_arr)
@@ -560,22 +570,15 @@ def eigh_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     return res.eigenvalues, res.eigenvectors
 
 
-def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
-         eigvals_only: bool = False, mesh=None, panel: int = 32):
-    """Dense symmetric eigensolver: Householder tridiagonalization front-end
-    (kernels/tridiagonalize.py) + the Cuppen tridiagonal solver + compact-WY
-    backtransformation.  Returns lam or (lam, V) like jnp.linalg.eigh.
-
-    (The reference has no dense path — this fulfils BASELINE.md's end-to-end
-    dense requirement.)
-    """
+@functools.lru_cache(maxsize=32)
+def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
+                   mesh_id, panel: int):
+    """Cached jit for the dense path: the front-end's first compile is ~10 min
+    on the tunneled TPU, so repeat calls must reuse the traced function."""
     from .kernels.tridiagonalize import apply_q, tridiagonalize
 
-    A = jnp.asarray(A, config.dtype)
-    n = A.shape[0]
-    if A.shape != (n, n):
-        raise ValueError("A must be square")
     plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
+    mesh = mesh_id[1] if mesh_id is not None else None
 
     @jax.jit
     def fn(A):
@@ -587,6 +590,24 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
         X = apply_q(V, tau, W, panel=panel)
         return lam, X
 
+    return fn
+
+
+def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
+         eigvals_only: bool = False, mesh=None, panel: int = 32):
+    """Dense symmetric eigensolver: Householder tridiagonalization front-end
+    (kernels/tridiagonalize.py) + the Cuppen tridiagonal solver + compact-WY
+    backtransformation.  Returns lam or (lam, V) like jnp.linalg.eigh.
+
+    (The reference has no dense path — this fulfils BASELINE.md's end-to-end
+    dense requirement.)
+    """
+    A = jnp.asarray(A, config.dtype)
+    n = A.shape[0]
+    if A.shape != (n, n):
+        raise ValueError("A must be square")
+    mesh_key = (id(mesh), mesh) if mesh is not None else None
+    fn = _compiled_eigh(n, config, eigvals_only, mesh_key, panel)
     lam, X = fn(A)
     if eigvals_only:
         return lam

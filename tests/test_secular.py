@@ -190,3 +190,33 @@ def test_heavy_deflation_rows_through(rng):
     w = rng.standard_normal((2, 2 * half))
     y = np.asarray(rows_through_merge(rep, jnp.asarray(w)))
     assert np.abs(y - w @ U).max() < 1e-12
+
+
+def test_zero_z_on_largest_pole(rng):
+    """A legitimate exactly-zero z entry on the largest-magnitude pole: the
+    deflation scale masks z == 0 slots (pad-sentinel exclusion,
+    merge_partition), so this case must still deflate that slot correctly and
+    keep full accuracy for the remaining roots."""
+    m = 32
+    d = np.sort(rng.standard_normal(m) * 2)
+    d[-1] = 50.0                    # dominant pole, far above the rest
+    d[0] = -50.0                    # and a dominant negative pole
+    z = rng.standard_normal(m)
+    z[-1] = 0.0                     # exact zero on the largest pole
+    z[0] = 0.0                      # and on the largest negative pole
+    z /= np.linalg.norm(z)
+    rep, U, lam = check_merge(d, z, 1.9)
+    # both zero-z slots must be type-1 deflated (eigenvalue = pole, e_i column)
+    assert np.any(np.abs(lam - 50.0) < 1e-12)
+    assert np.any(np.abs(lam + 50.0) < 1e-12)
+
+
+def test_zero_z_entries_everywhere_but_two(rng):
+    """Heavy legitimate zero-z deflation (scale comes from only two slots)."""
+    m = 24
+    d = np.sort(rng.standard_normal(m) * 3)
+    z = np.zeros(m)
+    z[3] = 0.8
+    z[17] = -0.6
+    rep, U, lam = check_merge(d, z, 2.5)
+    assert int(rep.K) <= 2

@@ -189,3 +189,26 @@ def test_mixed_precision_clustered(rng):
     nT = np.abs(lam).max()
     assert np.abs(T @ V - V * lam[None, :]).max() < 1e-12 * nT
     assert np.abs(V.T @ V - np.eye(n)).max() < 1e-9
+
+
+def test_single_jit_max_n_autoroutes(rng):
+    """Above single_jit_max_n the public entry point must route to the staged
+    path (on TPU the single jit OOMs at n=16384; the library call must always
+    work) and return identical results."""
+    n = 64
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    base = se.SolverConfig(leaf_size=8)
+    routed = se.SolverConfig(leaf_size=8, single_jit_max_n=32)
+    res1 = se.solve_tridiagonal(d, e, compute_vectors=True, config=base)
+    res2 = se.solve_tridiagonal(d, e, compute_vectors=True, config=routed)
+    assert np.allclose(np.asarray(res1.eigenvalues),
+                       np.asarray(res2.eigenvalues), atol=1e-13)
+    assert np.abs(np.abs(np.asarray(res1.eigenvectors))
+                  - np.abs(np.asarray(res2.eigenvectors))).max() < 1e-10
+    # select= must survive the routing too
+    sel = [0, 5, n - 1]
+    r3 = se.solve_tridiagonal(d, e, select=sel, config=routed)
+    assert r3.eigenvectors.shape == (n, 3)
+    assert np.abs(np.abs(np.asarray(r3.eigenvectors))
+                  - np.abs(np.asarray(res1.eigenvectors)[:, sel])).max() < 1e-10

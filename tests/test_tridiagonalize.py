@@ -75,3 +75,21 @@ def test_dense_eigh_already_tridiagonal(rng):
     lam, V = se.driver.eigh(A, config=se.SolverConfig(leaf_size=8))
     wref = np.linalg.eigvalsh(A)
     assert np.abs(np.asarray(lam) - wref).max() < 1e-12 * max(1, np.abs(wref).max())
+
+
+def test_dense_eigh_caches_trace(rng):
+    """Two same-shape eigh calls must reuse one traced/compiled function
+    (the dense first compile is ~10 min on the tunneled TPU)."""
+    from symmetric_eigenvalue_tpu.driver import _compiled_eigh
+    _compiled_eigh.cache_clear()
+    cfg = se.SolverConfig(leaf_size=8)
+    A = rng.standard_normal((24, 24))
+    A = A + A.T
+    B = rng.standard_normal((24, 24))
+    B = B + B.T
+    lam_a, _ = se.driver.eigh(A, config=cfg)
+    lam_b, _ = se.driver.eigh(B, config=cfg)
+    info = _compiled_eigh.cache_info()
+    assert info.misses == 1 and info.hits == 1
+    assert np.allclose(np.asarray(lam_a), np.linalg.eigvalsh(A), atol=1e-10)
+    assert np.allclose(np.asarray(lam_b), np.linalg.eigvalsh(B), atol=1e-10)
