@@ -10,8 +10,16 @@ itself publishes no numbers (BASELINE.md) and needs a 16-node MPI cluster; the
 serial LAPACK D&C is the honest reproducible stand-in.  The baseline timing is
 cached in BENCH_BASELINE_CACHE.json (host CPU timing is stable between runs).
 
-Prints ONE JSON line:
+Prints ONE JSON line (the headline config):
   {"metric": ..., "value": <our seconds>, "unit": "s", "vs_baseline": <x faster>}
+
+Unless BENCH_EXTRA=0 (or a manual BENCH_N/BENCH_MATRIX/BENCH_VECTORS override
+is present), the OTHER BASELINE.md configs — clustered n=4096 (deflation
+stress), Poisson n=16384 (scheme 2), and n=65536 eigenvalues-only — are also
+run and machine-recorded to BENCH_EXTRA.json with the same residual
+self-checks (ref filehandling.c:511-537).  Extras are strictly best-effort:
+they run after the headline measurement, under a BENCH_BUDGET time cap, and
+any failure there cannot affect the headline JSON line.
 """
 
 import json
@@ -28,25 +36,33 @@ MATRIX = os.environ.get("BENCH_MATRIX", "random")
 VECTORS = os.environ.get("BENCH_VECTORS", "1") != "0"
 MIXED = os.environ.get("BENCH_MIXED", "1") == "1"
 VEC_CHUNK = int(os.environ.get("BENCH_VEC_CHUNK", "0"))
-CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "BENCH_BASELINE_CACHE.json")
+# extras run only for the default (headline) invocation, or when forced
+_OVERRIDDEN = any(k in os.environ for k in
+                  ("BENCH_N", "BENCH_MATRIX", "BENCH_VECTORS", "BENCH_SEED"))
+EXTRA = os.environ.get("BENCH_EXTRA", "0" if _OVERRIDDEN else "1") == "1"
+BUDGET = float(os.environ.get("BENCH_BUDGET", "3000"))   # seconds, extras cap
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_PATH = os.path.join(_HERE, "BENCH_BASELINE_CACHE.json")
+EXTRA_PATH = os.path.join(_HERE, "BENCH_EXTRA.json")
+
+_T_START = time.perf_counter()
 
 
-def make_matrix(n, seed):
+def make_matrix(n, seed, matrix):
     import numpy as np
     rng = np.random.default_rng(seed)
-    if MATRIX == "random":
+    if matrix == "random":
         return rng.standard_normal(n) * 5.0, rng.standard_normal(n - 1) * 2.0
-    if MATRIX == "clustered":
+    if matrix == "clustered":
         # tight eigenvalue clusters -> heavy deflation in every merge
         centers = rng.standard_normal(max(n // 64, 1)) * 10
         d = np.repeat(centers, 64)[:n]
         d = d + 1e-9 * rng.standard_normal(n)
         e = 1e-7 * (1.0 + rng.random(n - 1))
         return d, e
-    if MATRIX == "poisson":
+    if matrix == "poisson":
         return 2.0 * np.ones(n), -np.ones(n - 1)
-    raise SystemExit(f"unknown BENCH_MATRIX={MATRIX}")
+    raise SystemExit(f"unknown matrix kind {matrix}")
 
 
 def log(*a):
@@ -69,8 +85,12 @@ def _host_key():
     return f"{platform.node()}|{cpu}"
 
 
-def baseline_seconds(d, e):
-    key = f"stevd_n{N}_seed{SEED}_{MATRIX}" + ("" if VECTORS else "_novec")
+def baseline_seconds(d, e, n, seed, matrix, vectors, measure_cap=None):
+    """Host dstevd baseline, cached per host.  With measure_cap set, skip the
+    measurement (return None) when an uncached run is predicted to exceed it —
+    extras must not burn the whole budget re-timing a 686 s LAPACK run on a
+    new host."""
+    key = f"stevd_n{n}_seed{seed}_{matrix}" + ("" if vectors else "_novec")
     cache = {}
     if os.path.exists(CACHE_PATH):
         try:
@@ -85,11 +105,19 @@ def baseline_seconds(d, e):
     if key in cache:
         log(f"baseline (cached): {cache[key]:.2f}s")
         return cache[key]
+    # crude dstevd cost model for the cap: O(n^3) w/ vectors, O(n^2) without
+    if measure_cap is not None:
+        pred = (n / 16384.0) ** 3 * 700.0 if vectors else \
+            (n / 65536.0) ** 2 * 130.0
+        if pred > measure_cap:
+            log(f"baseline for {key} not cached and predicted ~{pred:.0f}s"
+                f" > cap {measure_cap:.0f}s; skipping baseline")
+            return None
     import numpy as np
     from scipy.linalg import eigh_tridiagonal
-    log("running LAPACK dstevd baseline on host CPU ...")
+    log(f"running LAPACK dstevd baseline on host CPU ({key}) ...")
     t0 = time.perf_counter()
-    if VECTORS:
+    if vectors:
         w, _ = eigh_tridiagonal(d, e, lapack_driver="stevd")
     else:
         w = eigh_tridiagonal(d, e, eigvals_only=True, lapack_driver="stev")
@@ -104,45 +132,38 @@ def baseline_seconds(d, e):
     return dt
 
 
-def main():
+def run_config(n, seed, matrix, vectors, reps, baseline_cap=None):
+    """Measure one BASELINE.md config; returns the result dict."""
     import numpy as np
 
-    d_np, e_np = make_matrix(N, SEED)
-
-    base_s = baseline_seconds(d_np, e_np)
+    d_np, e_np = make_matrix(n, seed, matrix)
+    base_s = baseline_seconds(d_np, e_np, n, seed, matrix, vectors,
+                              measure_cap=baseline_cap)
 
     import jax
-    jax.config.update("jax_enable_x64", True)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     import symmetric_eigenvalue_tpu as se
     from symmetric_eigenvalue_tpu.core.tree import build_plan
     from symmetric_eigenvalue_tpu.core.tridiag import residual_norms
     from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+    from symmetric_eigenvalue_tpu.utils.timing import sync
 
-    log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}  n={N}")
+    log(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}"
+        f"  n={n} matrix={matrix} vectors={vectors}")
     kw = {"mixed_precision_vectors": MIXED}
     if VEC_CHUNK:
         kw["vec_chunk"] = VEC_CHUNK
     cfg = se.SolverConfig(**kw)
-    plan = build_plan(N, cfg.resolved_leaf_size(N), cfg.max_leaves)
+    plan = build_plan(n, cfg.resolved_leaf_size(n), cfg.max_leaves)
     log(f"plan: P={plan.num_leaves} L={plan.num_levels} b={plan.leaf_pad}")
 
     d = jnp.asarray(d_np)
     e = jnp.asarray(e_np)
 
-    from symmetric_eigenvalue_tpu.utils.timing import sync
-
     def run():
         res, timer = solve_tridiagonal_staged(
-            d, e, config=cfg, compute_vectors=VECTORS)
+            d, e, config=cfg, compute_vectors=vectors)
         sync(res)
         return res, timer
 
@@ -151,10 +172,12 @@ def main():
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
 
     times = []
-    for _ in range(REPS):
+    phases = {}
+    for _ in range(reps):
         t0 = time.perf_counter()
         res, timer = run()
         times.append(time.perf_counter() - t0)
+        phases = {k: round(v, 3) for k, v in timer.times.items()}
         log("  phases: " + ", ".join(f"{k}={v:.2f}s"
                                      for k, v in timer.times.items()))
     lam, V = res.eigenvalues, res.eigenvectors
@@ -163,38 +186,115 @@ def main():
 
     # accuracy self-check on device (ref filehandling.c:511-537)
     norm_t = float(np.abs(d_np).max() + 2 * np.abs(e_np).max())
-    if VECTORS:
-        res = float(jax.jit(
+    extra_checks = {}
+    if vectors:
+        rel = float(jax.jit(
             lambda d, e, lam, V: jnp.max(residual_norms(d, e, lam, V)))(
-                d, e, lam, V))
-        rel = res / norm_t
-        log(f"max residual: {res:.3e}  (= {rel:.3e} * ||T||)")
+                d, e, lam, V)) / norm_t
+        log(f"max residual: {rel*norm_t:.3e}  (= {rel:.3e} * ||T||)")
     else:
-        from scipy.linalg import eigh_tridiagonal
-        wref = eigh_tridiagonal(d_np, e_np, eigvals_only=True,
-                                lapack_driver="stev")
+        if matrix == "poisson":
+            # closed-form spectrum (ref helper.c:52-62): exact oracle, no
+            # LAPACK needed at any n
+            i = np.arange(1, n + 1)
+            wref = 2.0 - 2.0 * np.cos(np.pi * i / (n + 1))
+            wref.sort()
+        else:
+            from scipy.linalg import eigh_tridiagonal
+            wref = eigh_tridiagonal(d_np, e_np, eigvals_only=True,
+                                    lapack_driver="stev")
         rel = float(np.abs(np.asarray(lam) - wref).max()) / norm_t
         log(f"max |dlam|/||T||: {rel:.3e}")
+    if matrix == "poisson" and vectors:
+        # mutual orthogonality is the known hard part of this config
+        orth = float(jax.jit(
+            lambda V: jnp.max(jnp.abs(V.T @ V - jnp.eye(V.shape[1],
+                                                        dtype=V.dtype))))(V))
+        extra_checks["max_orthogonality_error"] = float(f"{orth:.3e}")
+        log(f"max orthogonality error: {orth:.3e}")
 
-    what = "eigenpairs" if VECTORS else "eigenvalues"
-    mat = "" if MATRIX == "random" else f"_{MATRIX}"
+    import jax as _jax
+    what = "eigenpairs" if vectors else "eigenvalues"
+    mat = "" if matrix == "random" else f"_{matrix}"
     out = {
-        "metric": f"wallclock_full_{what}_n{N}{mat}",
+        "metric": f"wallclock_full_{what}_n{n}{mat}",
         "value": round(ours, 4),
         "unit": "s",
-        "vs_baseline": round(base_s / ours, 3),
-        "baseline_s": round(base_s, 3),
+        "vs_baseline": (round(base_s / ours, 3)
+                        if base_s is not None else None),
+        "baseline_s": round(base_s, 3) if base_s is not None else None,
         "baseline_def": "LAPACK dstevd (scipy eigh_tridiagonal) host CPU",
-        # in eigenvalues-only mode `rel` is an eigenvalue error vs LAPACK, not
-        # a residual — name the field accordingly
-        ("max_residual_over_normT" if VECTORS
+        # in eigenvalues-only mode `rel` is an eigenvalue error, not a residual
+        ("max_residual_over_normT" if vectors
          else "max_eigenvalue_error_over_normT"): float(f"{rel:.3e}"),
-        ("residual_target_met" if VECTORS
+        ("residual_target_met" if vectors
          else "eigenvalue_error_below_1e12_normT"): bool(rel <= 1e-12),
-        "backend": jax.default_backend(),
+        "phases_s": phases,
+        "backend": _jax.default_backend(),
         "mixed_precision": MIXED,
     }
-    print(json.dumps(out), flush=True)
+    out.update(extra_checks)
+    return out
+
+
+def run_extras(results):
+    """The non-headline BASELINE.md configs, recorded to BENCH_EXTRA.json.
+
+    Incremental writes: a crash or budget stop still leaves every completed
+    config on disk.  Budget-aware: stop starting new configs once the total
+    wall clock passes BENCH_BUDGET."""
+    extra_cfgs = [
+        # (n, matrix, vectors, reps) — BASELINE.md: clustered deflation
+        # stress, Poisson scheme-2, flagship-size eigenvalues-only
+        (4096, "clustered", True, 2),
+        (16384, "poisson", True, 2),
+        (65536, "random", False, 2),
+    ]
+    for (n, matrix, vectors, reps) in extra_cfgs:
+        elapsed = time.perf_counter() - _T_START
+        if elapsed > BUDGET:
+            log(f"extras: budget exhausted ({elapsed:.0f}s > {BUDGET:.0f}s);"
+                f" skipping remaining configs")
+            results["skipped"] = results.get("skipped", []) + [
+                f"n{n}_{matrix}" + ("" if vectors else "_novec")]
+            continue
+        try:
+            r = run_config(n, SEED, matrix, vectors, reps,
+                           baseline_cap=max(BUDGET - elapsed, 0.0))
+            results["configs"].append(r)
+        except Exception as exc:       # noqa: BLE001 — extras are best-effort
+            log(f"extras: config n={n} {matrix} failed: {exc!r}")
+            results["errors"] = results.get("errors", []) + [
+                {"config": f"n{n}_{matrix}", "error": repr(exc)}]
+        try:
+            with open(EXTRA_PATH, "w") as f:
+                json.dump(results, f, indent=1)
+        except Exception:
+            pass
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_HERE, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    headline = run_config(N, SEED, MATRIX, VECTORS, REPS)
+    # print the headline JSON line IMMEDIATELY: extras only log to stderr and
+    # BENCH_EXTRA.json, so this stays the last stdout JSON line even if the
+    # extras pass crashes or an external timeout kills the process mid-extras
+    print(json.dumps(headline), flush=True)
+    if EXTRA:
+        results = {"headline_metric": headline["metric"],
+                   "host": _host_key(), "configs": []}
+        try:
+            run_extras(results)
+        except Exception as exc:       # noqa: BLE001
+            log(f"extras pass failed: {exc!r}")
 
 
 if __name__ == "__main__":

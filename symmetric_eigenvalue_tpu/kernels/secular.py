@@ -224,6 +224,17 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
     # (map_slot_blocks): each block's while_loop exits as soon as *its* roots
     # converge, and live memory is O(block * m).
 
+    # Pallas path: the per-iteration O(block x m) reductions run in a VMEM
+    # kernel (double-word sums at f32 VPU rate) instead of XLA's emulated-f64
+    # lowering, which materializes ~10 (block, m) f32-pair temporaries in HBM
+    # per iteration.  The O(block) scalar update stays in XLA f64.
+    use_kernel = False
+    if jnp.float64 == dt:
+        try:
+            use_kernel = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            use_kernel = False
+
     def solve_block(sl):
         gap = gap_all[sl]
         mid = poles_sec[sl] + 0.5 * gap
@@ -250,7 +261,40 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
         delta_hi = jnp.where(interior,
                              poles_sec[jnp.minimum(sl + 1, m - 1)] - shift_val,
                              4.0 * (jnp.abs(gap) + 1.0))
-        mask_left = jnp.arange(m, dtype=i32)[None, :] <= sl[:, None]
+
+        from .pallas import secular_sums as _ss
+        kernel_ok = use_kernel and _ss.supported(m, int(sl.shape[0]))
+        # the kernel's compensated sums sit at ~2^-45..-46 (vs the emulated
+        # f64 path's 2^-48): widen the convergence tolerance accordingly so
+        # roots converge instead of burning iterations on the noise floor
+        tolf_eff = tolf * (4.0 if kernel_ok else 1.0)
+
+        if kernel_ok:
+            def sums(tau):
+                S1, S2, S1L, S2L = _ss.secular_sums(
+                    poles_sec, zu2, shift_val, tau, sl)
+                # the shift slot's dif is -tau EXACTLY (shift_val is the
+                # pole), so the singular terms come straight from tau
+                t1s = -zs2 / tau
+                t2s = zs2 / (tau * tau)
+                return S1, S2, S1L, S2L, t1s, t2s
+        else:
+            mask_left = jnp.arange(m, dtype=i32)[None, :] <= sl[:, None]
+
+            def sums(tau):
+                dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]
+                inv = 1.0 / dif
+                t1 = zu2[None, :] * inv
+                t2 = t1 * inv
+                t1s = jnp.take_along_axis(
+                    t1, shift_idx[:, None].astype(i32), axis=1)[:, 0]
+                t2s = jnp.take_along_axis(
+                    t2, shift_idx[:, None].astype(i32), axis=1)[:, 0]
+                S1 = jnp.sum(t1, axis=1)
+                S2 = jnp.sum(t2, axis=1)
+                S1L = jnp.sum(jnp.where(mask_left, t1, 0.0), axis=1)
+                S2L = jnp.sum(jnp.where(mask_left, t2, 0.0), axis=1)
+                return S1, S2, S1L, S2L, t1s, t2s
 
         def cond(state):
             tau, lo, hi, done, it = state
@@ -258,27 +302,20 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
 
         def body(state):
             tau, lo, hi, done, it = state
-            dif = (poles_sec[None, :] - shift_val[:, None]) - tau[:, None]
-            inv = 1.0 / dif
-            t1 = zu2[None, :] * inv
-            t2 = t1 * inv
-            t1s = jnp.take_along_axis(
-                t1, shift_idx[:, None].astype(i32), axis=1)[:, 0]
-            sum1_all = jnp.sum(t1, axis=1)
-            sum2_all = jnp.sum(t2, axis=1)
-            psi = rho_e * jnp.sum(jnp.where(mask_left, t1, 0.0), axis=1)
-            psi1 = rho_e * jnp.sum(jnp.where(mask_left, t2, 0.0), axis=1)
-            phi = rho_e * sum1_all - psi
-            phi1 = rho_e * sum2_all - psi1
+            S1, S2, S1L, S2L, t1s, t2s = sums(tau)
+            psi = rho_e * S1L
+            psi1 = rho_e * S2L
+            phi = rho_e * S1 - psi
+            phi1 = rho_e * S2 - psi1
             f = 1.0 + psi + phi
             # accurate convergence test on h = tau*D - rho*z_s^2 (singular
             # term isolated; exact for roots arbitrarily close to the pole)
-            Ds = 1.0 + rho_e * (sum1_all - t1s)
+            Ds = 1.0 + rho_e * (S1 - t1s)
             h = tau * Ds - rho_e * zs2
             scale_h = jnp.abs(tau) * (1.0 + jnp.abs(rho_e)
-                                      * jnp.abs(sum1_all - t1s)) \
+                                      * jnp.abs(S1 - t1s)) \
                 + rho_e * zs2
-            done_now = jnp.abs(h) <= tolf * scale_h
+            done_now = jnp.abs(h) <= tolf_eff * scale_h
             # sign(f) = sign(h) * sign(tau); f > 0 => root below tau
             f_pos = (h > 0) ^ (tau < 0)
             hi_n = jnp.where(f_pos, jnp.minimum(hi, tau), hi)
@@ -309,10 +346,7 @@ def _solve_roots(poles_sec, zu, rho_e, K, active, eps, max_iters, tol_factor,
             t_quad = jnp.where(pick1, cand1, cand2)
             ok_quad = (in1 | in2) & jnp.isfinite(t_quad)
             # fallbacks: safeguarded Newton on h, then bisection
-            hp = Ds + tau * rho_e * (sum2_all
-                                     - jnp.take_along_axis(
-                                         t2, shift_idx[:, None].astype(i32),
-                                         axis=1)[:, 0])
+            hp = Ds + tau * rho_e * (S2 - t2s)
             hp_safe = jnp.where(hp != 0, hp, jnp.ones_like(hp))
             t_newton = tau - h / hp_safe
             in_n = (t_newton > lo_n) & (t_newton < hi_n)

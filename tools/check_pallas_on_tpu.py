@@ -119,6 +119,44 @@ def check_cauchy_rowsum(m=16384, seed=0):
     return rel
 
 
+def check_secular_sums(m=16384, B=2048, seed=0):
+    """Root-finder reduction kernel vs the XLA emulated-f64 sums at the
+    n=16384 top-merge shape (the hot loop, ref eigenvalues.c:8-17)."""
+    from symmetric_eigenvalue_tpu.kernels.pallas.secular_sums import (
+        secular_sums)
+    rng = np.random.default_rng(seed)
+    poles = np.sort(rng.standard_normal(m))
+    z2 = (rng.standard_normal(m) * 0.1) ** 2
+    sl = np.sort(rng.integers(0, m, B)).astype(np.int32)
+    shift_val = poles[sl]
+    tau = 1e-3 * rng.random(B) + 1e-14
+    tau[B // 3] = 1e-13
+    S1, S2, S1L, S2L = secular_sums(
+        jnp.asarray(poles), jnp.asarray(z2), jnp.asarray(shift_val),
+        jnp.asarray(tau), jnp.asarray(sl))
+
+    @jax.jit
+    def xla_path(poles, z2, shift_val, tau, sl):
+        dif = (poles[None, :] - shift_val[:, None]) - tau[:, None]
+        inv = 1.0 / dif
+        t1 = z2[None, :] * inv
+        t2 = t1 * inv
+        mask = jnp.arange(m)[None, :] <= sl[:, None]
+        return (jnp.sum(t1, axis=1), jnp.sum(t2, axis=1),
+                jnp.sum(jnp.where(mask, t1, 0.0), axis=1),
+                jnp.sum(jnp.where(mask, t2, 0.0), axis=1),
+                jnp.max(jnp.abs(t1), axis=1), jnp.max(jnp.abs(t2), axis=1))
+    X1, X2, X1L, X2L, t1m, t2m = [np.asarray(a) for a in xla_path(
+        jnp.asarray(poles), jnp.asarray(z2), jnp.asarray(shift_val),
+        jnp.asarray(tau), jnp.asarray(sl))]
+    r_s1 = max((np.abs(np.asarray(S1) - X1) / np.maximum(np.abs(X1), t1m)).max(),
+               (np.abs(np.asarray(S1L) - X1L) / np.maximum(np.abs(X1L), t1m)).max())
+    r_s2 = max((np.abs(np.asarray(S2) - X2) / np.maximum(np.abs(X2), t2m)).max(),
+               (np.abs(np.asarray(S2L) - X2L) / np.maximum(np.abs(X2L), t2m)).max())
+    print(f"secular_sums    m={m} B={B}: S1 rel={r_s1:.3e} S2 rel={r_s2:.3e}")
+    return r_s1, r_s2
+
+
 if __name__ == "__main__":
     if jax.default_backend() != "tpu":
         print(f"backend is {jax.default_backend()}, not tpu — aborting")
@@ -128,7 +166,8 @@ if __name__ == "__main__":
     r2 = check_dword_matvec()
     r3 = check_dword_matmul()
     r4 = check_cauchy_rowsum()
+    r5, r5b = check_secular_sums()
     ok = (r1 < 1e-6 and r1b < 1e-6 and r2 < 1e-12 and r3 < 1e-12
-          and r4 < 1e-11)
+          and r4 < 1e-11 and r5 < 1e-12 and r5b < 1e-5)
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)
