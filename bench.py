@@ -205,11 +205,13 @@ def run_config(n, seed, matrix, vectors, reps, baseline_cap=None):
                                     lapack_driver="stev")
         rel = float(np.abs(np.asarray(lam) - wref).max()) / norm_t
         log(f"max |dlam|/||T||: {rel:.3e}")
-    if matrix == "poisson" and vectors:
-        # mutual orthogonality is the known hard part of this config
-        orth = float(jax.jit(
-            lambda V: jnp.max(jnp.abs(V.T @ V - jnp.eye(V.shape[1],
-                                                        dtype=V.dtype))))(V))
+    if vectors:
+        # mutual orthogonality of the basis (hardest for poisson's 1e-7-gap
+        # edge clusters).  Blocked f64-grade Gram: a plain f32-HIGHEST
+        # V.T @ V OOMs at n=16384 (XLA materializes [passes, n, n] bf16
+        # temps) and couldn't resolve 1e-10 anyway — see utils/checks.py
+        from symmetric_eigenvalue_tpu.utils.checks import max_ortho_error
+        orth = max_ortho_error(V)
         extra_checks["max_orthogonality_error"] = float(f"{orth:.3e}")
         log(f"max orthogonality error: {orth:.3e}")
 

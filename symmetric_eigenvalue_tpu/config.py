@@ -115,6 +115,18 @@ class SolverConfig:
     #   have thousands of gaps just above any loose threshold and every extra
     #   QR segment costs host-loop dispatches.
     cluster_gap_factor: float = 1e-8
+    # ortho_gap_factor: dstein-style explicit orthogonalization threshold
+    #   (relative to ||T||).  Columns whose gaps sit in
+    #   [cluster_gap_factor, ortho_gap_factor) are separable by inverse
+    #   iteration in exact arithmetic, but the f32 downsweep leaves them with
+    #   O(eps_f32*||T||/gap) mutual mixing that refinement shrinks only by
+    #   (lam_err/gap) per pass — at gap ~ 1e-7*||T|| that stalls around 1e-6
+    #   (the round-2 Poisson blemish).  So after the first refinement pass
+    #   these segments are explicitly orthonormalized (batched CholeskyQR —
+    #   residual cost is mixing*gap, ~1e-13*||T|| worst case) and the second
+    #   pass then runs on clean columns.  LAPACK dstein's ortol plays the
+    #   same role (ref analog: getEigenVector, eigenvalues.c:291-358).
+    ortho_gap_factor: float = 1e-6
     # single_jit_max_n: largest n (with eigenvectors) the single-jit
     #   ``solve_tridiagonal`` path handles itself; above it the call
     #   auto-routes to the staged/column-chunked implementation.  ``None``
@@ -167,7 +179,7 @@ class SolverConfig:
                      self.refine_residual_factor,
                      self.mixed_precision_vectors, self.refine_steps,
                      self.refine_risky_gap_factor, self.cluster_gap_factor,
-                     self.single_jit_max_n))
+                     self.ortho_gap_factor, self.single_jit_max_n))
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -449,6 +449,15 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
         thr_res = config.refine_residual_factor * config.eps() * \
             max(norm_t, 1e-30)
         risky = risky | (res1 > thr_res)
+        # dstein-style: explicitly orthogonalize near-degenerate segments
+        # BEFORE the extra pass.  Gaps in [cluster_gap_factor,
+        # ortho_gap_factor) are separable in exact arithmetic but the f32
+        # downsweep's O(eps_f32*||T||/gap) mixing decays only by (lam_err/gap)
+        # per refinement pass and stalls ~1e-6 at gap ~ 1e-7*||T|| (round-2
+        # Poisson blemish).  Cleaning here costs residual ~ mixing*gap
+        # (<=1e-13*||T||), which the second pass then polishes away.
+        V = orthonormalize_clusters(lam_np, V, norm_t,
+                                    gap_factor=config.ortho_gap_factor)
         idx = np.nonzero(risky)[0]
         if idx.size:
             # pad to a power-of-two bucket to bound recompilations
@@ -478,8 +487,13 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
                                                   Vr[:, sp], V))(
                 V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
 
+    # final cleanup at the WIDE threshold: after the passes above the mixing
+    # in [cluster_gap_factor, ortho_gap_factor) segments is tiny, so this is
+    # a near-identity CholeskyQR there (residual cost ~ mixing*gap ~ 0) while
+    # genuinely degenerate clusters below cluster_gap_factor get their final
+    # orthonormal basis as before
     return orthonormalize_clusters(lam_np, V, norm_t,
-                                   gap_factor=config.cluster_gap_factor)
+                                   gap_factor=config.ortho_gap_factor)
 
 
 def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
@@ -593,6 +607,26 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
     return fn
 
 
+@functools.lru_cache(maxsize=8)
+def _compiled_tridiagonalize(n: int, dtype_name: str, panel: int):
+    from .kernels.tridiagonalize import tridiagonalize
+
+    # donate A: the 2 GB (n=16384 f64) dense input buffer is dead after the
+    # front-end, and the staged pipeline needs the headroom
+    return jax.jit(functools.partial(tridiagonalize, panel=panel),
+                   donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_apply_q(n: int, ncols: int, dtype_name: str, panel: int):
+    from .kernels.tridiagonalize import apply_q
+
+    def fn(Vt, taus, X):
+        return apply_q(Vt, taus, X, panel=panel)
+
+    return jax.jit(fn, donate_argnums=(2,))
+
+
 def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
          eigvals_only: bool = False, mesh=None, panel: int = 32):
     """Dense symmetric eigensolver: Householder tridiagonalization front-end
@@ -606,6 +640,21 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
     n = A.shape[0]
     if A.shape != (n, n):
         raise ValueError("A must be square")
+
+    # Above the single-jit limit, run the dense pipeline in stages (mirrors
+    # solve_tridiagonal's auto-route): jit front-end -> staged tridiagonal
+    # solve -> jit compact-WY backtransform, donating the big buffers
+    # between stages so peak HBM stays bounded at the headline sizes.
+    if (not eigvals_only) and n > config.resolved_single_jit_max_n():
+        d, e, Vt, tau = _compiled_tridiagonalize(
+            n, str(A.dtype), panel)(A)
+        res, _ = solve_tridiagonal_staged(
+            d, e, config=config, compute_vectors=True, mesh=mesh)
+        X = _compiled_apply_q(n, int(res.eigenvectors.shape[1]),
+                              str(A.dtype), panel)(Vt, tau,
+                                                   res.eigenvectors)
+        return res.eigenvalues, X
+
     mesh_key = (id(mesh), mesh) if mesh is not None else None
     fn = _compiled_eigh(n, config, eigvals_only, mesh_key, panel)
     lam, X = fn(A)

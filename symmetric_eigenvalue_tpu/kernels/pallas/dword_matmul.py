@@ -62,9 +62,19 @@ def _pow2_ceil(m):
 
 
 def _grid_round(r, t):
-    """Round r (f32) to the slice-t grid (multiples of 2^-8(t+1)) exactly."""
-    c = np.float32(1.5 * 2.0 ** (23 - 8 * (t + 1)))
-    return (r + c) - c
+    """Round r (f32) to the slice-t grid (multiples of 2^-8(t+1)) exactly.
+
+    Implemented as round(r * 2^8(t+1)) * 2^-8(t+1): both scalings are exact
+    power-of-two multiplies and lax.round is an opaque op the compiler must
+    keep.  The classic (r + C) - C magic-constant trick is NOT safe in
+    XLA-level code on this platform: the terminal pins
+    --xla_allow_excess_precision=true and XLA's algebraic simplifier folds
+    the add/subtract pair away in some fusion positions (observed on v5e:
+    slices 0 and 3 came out off-grid with ~0.5-grid-unit error, degrading
+    the whole kernel from 2^-47-grade to ~1e-5-grade without any failure).
+    """
+    g = np.float32(2.0 ** (8 * (t + 1)))
+    return jnp.round(r * g) * np.float32(1.0 / g)
 
 
 def _peel_slices(rh, rl):

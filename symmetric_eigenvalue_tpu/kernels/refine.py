@@ -361,13 +361,40 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
     orthogonality — no per-segment QR dispatches.  Pad columns carry an
     identity Gram block and pass through untouched."""
 
+    def gram(S):
+        """Per-segment Grams (nseg, wmax, wmax) from S (nseg, n, wmax).
+
+        On TPU the plain f64 einsum is NOT usable: XLA's emulated-f64
+        dot_general is only ~1e-6-grade for matrix-matrix shapes at these
+        contraction lengths (measured: 3.6e-7 abs at K=4096, 2.9e-6 at
+        K=16384 — the exact magnitude of the round-2 "Poisson 5e-6
+        blemish", which was this platform defect corrupting the
+        CholeskyQR Gram, not inverse-iteration mixing).  Route through the
+        MXU-sliced double-word GEMM on the horizontally stacked segment
+        matrix and take the block diagonal; cross-segment blocks are
+        wasted flops but the kernel runs at ~4 TFLOP/s-grade so the whole
+        Gram costs ~0.1 s at the clustered-bench shape."""
+        if jax.default_backend() != "tpu" or S.dtype != jnp.float64:
+            return jnp.einsum("bnw,bnv->bwv", S, S)
+        from .pallas.dword_matmul import dword_matmul
+        # group segments so the stacked width stays bounded (the full
+        # cross-Gram is (g*wmax)^2 f64)
+        gsz = max(1, min(nseg, 4096 // max(wmax, 1)))
+        outs = []
+        for o in range(0, nseg, gsz):
+            g = min(gsz, nseg - o)
+            X = jnp.moveaxis(S[o:o + g], 0, 1).reshape(S.shape[1], g * wmax)
+            Gf = dword_matmul(X.T, X).reshape(g, wmax, g, wmax)
+            outs.append(Gf[jnp.arange(g), :, jnp.arange(g), :])
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
     def fn(V, starts, widths, colowner, colpos):
         cols = starts[:, None] + jnp.arange(wmax)[None, :]       # (nseg, wmax)
         colmask = jnp.arange(wmax)[None, :] < widths[:, None]
         cols_safe = jnp.clip(cols, 0, C - 1)
         S = V[:, cols_safe]                   # (n, nseg, wmax)
         S = jnp.moveaxis(S, 0, 1) * colmask[:, None, :]
-        G = jnp.einsum("bnw,bnv->bwv", S, S)
+        G = gram(S)
         eye_pad = jnp.where(colmask, 0.0, 1.0)
         G = G + jnp.eye(wmax, dtype=V.dtype)[None] * eye_pad[:, :, None]
         L = jnp.linalg.cholesky(G)
@@ -378,7 +405,7 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
         # only ~cond(S)*eps.  Verify the RESULT per segment (one cheap
         # (w, w) Gram) and keep the original columns where it fails so the
         # caller can run an explicit QR instead.
-        G2 = jnp.einsum("bnw,bnv->bwv", Y, Y)
+        G2 = gram(Y)
         G2 = G2 + jnp.eye(wmax, dtype=V.dtype)[None] * eye_pad[:, :, None]
         err = jnp.max(jnp.abs(G2 - jnp.eye(wmax, dtype=V.dtype)[None]),
                       axis=(1, 2))

@@ -77,6 +77,22 @@ def test_dense_eigh_already_tridiagonal(rng):
     assert np.abs(np.asarray(lam) - wref).max() < 1e-12 * max(1, np.abs(wref).max())
 
 
+def test_dense_eigh_staged_route(rng):
+    """Above single_jit_max_n, eigh runs front-end -> staged solve ->
+    backtransform as separate dispatches (the n=16384 TPU path)."""
+    n = 192
+    A = rng.standard_normal((n, n)) * 2
+    A = (A + A.T) / 2
+    cfg = se.SolverConfig(leaf_size=16, single_jit_max_n=64)
+    lam, V = se.driver.eigh(A, config=cfg)
+    lam, V = np.asarray(lam), np.asarray(V)
+    wref = np.linalg.eigvalsh(A)
+    nA = max(np.abs(wref).max(), 1.0)
+    assert np.abs(lam - wref).max() < 1e-12 * nA
+    assert np.abs(A @ V - V * lam[None, :]).max() < 1e-11 * nA
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-11
+
+
 def test_dense_eigh_caches_trace(rng):
     """Two same-shape eigh calls must reuse one traced/compiled function
     (the dense first compile is ~10 min on the tunneled TPU)."""

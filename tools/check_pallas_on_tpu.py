@@ -90,6 +90,44 @@ def check_dword_matmul(M=2048, K=512, N=2048, seed=0):
     return rel
 
 
+def check_dword_slicing(K=16384, C=256):
+    """Exact-slicing invariant of the double-word GEMM, checked ON DEVICE.
+
+    Guards against compiler transformations of the slicing arithmetic: with
+    --xla_allow_excess_precision=true (pinned by this platform's terminal)
+    XLA's algebraic simplifier folded the old (r + C) - C grid rounding away
+    in SOME fusion contexts — gaussian O(1) inputs passed while the
+    orthogonality-check Gram silently degraded to ~1e-3.  Two invariants:
+    every slice lies exactly on its 2^-8(t+1) grid, and the slices sum back
+    to the normalized input at ~2^-48."""
+    from symmetric_eigenvalue_tpu.kernels.pallas.dword_matmul import (
+        KB, NSLICE, slice_lhs)
+
+    @jax.jit
+    def run():
+        j = jnp.arange(1, K + 1, dtype=jnp.float64)
+        i = jnp.arange(1, C + 1, dtype=jnp.float64)
+        # small-magnitude oscillatory entries (the regime that exposed the
+        # folding; gaussian O(1) did not)
+        A = jnp.sqrt(2.0 / (K + 1)) * jnp.sin(
+            jnp.pi * i[:, None] * j[None, :] / (K + 1))
+        asl, sa = slice_lhs(A)
+        rinv = 1.0 / jnp.repeat(sa.T, KB, axis=1)
+        recon = jnp.sum(asl.astype(jnp.float64), axis=0)
+        recon_err = jnp.max(jnp.abs(recon - A * rinv.astype(jnp.float64)))
+        gm = []
+        for t in range(NSLICE):
+            v = asl[t].astype(jnp.float32) * np.float32(2.0 ** (8 * (t + 1)))
+            gm.append(jnp.max(jnp.abs(v - jnp.round(v))))
+        return recon_err, jnp.stack(gm)
+
+    recon_err, gm = run()
+    gm_max = float(jnp.max(gm))
+    print(f"dword_slicing   K={K}: recon={float(recon_err):.3e} "
+          f"grid={gm_max:.3e}")
+    return float(recon_err), gm_max
+
+
 def check_cauchy_rowsum(m=16384, seed=0):
     """Fused boundary-row sums vs the XLA emulated-f64 path — f64-grade
     required (feeds the next level's z-vector)."""
@@ -167,7 +205,9 @@ if __name__ == "__main__":
     r3 = check_dword_matmul()
     r4 = check_cauchy_rowsum()
     r5, r5b = check_secular_sums()
+    r6, r6gm = check_dword_slicing()
     ok = (r1 < 1e-6 and r1b < 1e-6 and r2 < 1e-12 and r3 < 1e-12
-          and r4 < 1e-11 and r5 < 1e-12 and r5b < 1e-5)
+          and r4 < 1e-11 and r5 < 1e-12 and r5b < 1e-5
+          and r6 < 1e-13 and r6gm == 0.0)
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)

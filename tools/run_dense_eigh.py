@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Dense symmetric eigensolve at scale on TPU -> DENSE_EIGH.json artifact.
+
+Runs ``driver.eigh`` (Householder front-end + staged Cuppen solve +
+compact-WY backtransformation) on a random dense symmetric matrix and
+records wall time plus reference-style self-checks (residual against the
+ORIGINAL dense A, filehandling.c:511-537 semantics; mutual orthogonality).
+The reference has no dense path at all — this is BASELINE.md north-star
+completeness evidence.
+
+Usage: PYTHONPATH=.:/root/.axon_site python tools/run_dense_eigh.py [n] [reps]
+Env:   DENSE_EIGVALS_ONLY=1  DENSE_BASELINE=1 (host numpy eigh; slow)
+"""
+
+import json
+import os
+import sys
+import time
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+EIGVALS_ONLY = os.environ.get("DENSE_EIGVALS_ONLY", "0") == "1"
+HOST_BASELINE = os.environ.get("DENSE_BASELINE", "0") == "1"
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", os.path.join(_HERE, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, _HERE)
+from symmetric_eigenvalue_tpu import SolverConfig  # noqa: E402
+from symmetric_eigenvalue_tpu.driver import eigh  # noqa: E402
+from symmetric_eigenvalue_tpu.utils.checks import max_ortho_error  # noqa: E402
+
+
+def dense_residual(A, lam, V, col_chunk=2048):
+    """max_i ||A v_i - lam_i v_i||_inf, f64-grade, column-blocked.
+
+    Uses the double-word GEMM on TPU (XLA emulated-f64 n^3 dot would take
+    ~90 s at n=16384 and the f32-HIGHEST expansion OOMs; see utils/checks).
+    """
+    n = A.shape[0]
+    use_dword = jax.default_backend() == "tpu"
+
+    def chunk_err(A, V, lam, c0):
+        Vc = jax.lax.dynamic_slice_in_dim(V, c0, col_chunk, axis=1)
+        lc = jax.lax.dynamic_slice_in_dim(lam, c0, col_chunk)
+        if use_dword:
+            from symmetric_eigenvalue_tpu.kernels.pallas.dword_matmul import (
+                dword_matmul)
+            AV = dword_matmul(A, Vc)
+        else:
+            AV = A @ Vc
+        return jnp.max(jnp.abs(AV - Vc * lc[None, :]))
+
+    fn = jax.jit(chunk_err)
+    worst = 0.0
+    for c0 in range(0, n, col_chunk):
+        c0 = min(c0, n - col_chunk)
+        worst = max(worst, float(fn(A, V, lam, c0)))
+    return worst
+
+
+def main():
+    print(f"run_dense_eigh: n={N} platform={jax.devices()[0].platform} "
+          f"eigvals_only={EIGVALS_ONLY}", flush=True)
+    # generate A ON DEVICE: a 2 GB host->device f64 transfer through the
+    # tunneled platform takes many minutes, the jitted PRNG milliseconds
+    @jax.jit
+    def make_a(key):
+        G = jax.random.normal(key, (N, N), dtype=jnp.float64)
+        # O(1)-scaled entries (the dword kernels' documented precondition)
+        return (G + G.T) / (2.0 * np.sqrt(N))
+
+    Adev = make_a(jax.random.PRNGKey(0))
+    norm_a = float(jax.jit(
+        lambda A: jnp.max(jnp.sum(jnp.abs(A), axis=1)))(Adev))
+    cfg = SolverConfig()
+    A = None   # host copy only materialized for the optional baseline
+    times = []
+    for r in range(max(REPS, 1)):
+        t0 = time.perf_counter()
+        out = eigh(Adev, config=cfg, eigvals_only=EIGVALS_ONLY)
+        lam = out if EIGVALS_ONLY else out[0]
+        V = None if EIGVALS_ONLY else out[1]
+        jax.block_until_ready(lam)
+        if V is not None:
+            jax.block_until_ready(V)
+        # tunneled platform: block_until_ready does not block; force a fetch
+        _ = float(np.asarray(lam[:1])[0])
+        times.append(time.perf_counter() - t0)
+        print(f"  run {r}: {times[-1]:.1f}s", flush=True)
+
+    result = {
+        "metric": ("wallclock_dense_eigvals_n%d" % N if EIGVALS_ONLY
+                   else "wallclock_dense_eigenpairs_n%d" % N),
+        "value": round(min(times), 2),
+        "unit": "s",
+        "first_run_s": round(times[0], 2),
+        "backend": jax.default_backend(),
+        "norm_a": norm_a,
+    }
+
+    if EIGVALS_ONLY or V is not None:
+        lam_np = np.asarray(lam)
+        result["lam_range"] = [float(lam_np[0]), float(lam_np[-1])]
+    if V is not None:
+        t0 = time.perf_counter()
+        resid = dense_residual(Adev, lam, V)
+        orth = max_ortho_error(V)
+        result["max_residual"] = float(f"{resid:.3e}")
+        result["max_residual_over_normA"] = float(f"{resid / norm_a:.3e}")
+        result["max_orthogonality_error"] = float(f"{orth:.3e}")
+        result["residual_target_met"] = bool(resid <= 1e-12 * norm_a)
+        result["check_s"] = round(time.perf_counter() - t0, 1)
+        print(f"  residual {resid:.3e} (= {resid/norm_a:.3e}*||A||) "
+              f"orth {orth:.3e}", flush=True)
+
+    if HOST_BASELINE:
+        A = np.asarray(Adev)
+        t0 = time.perf_counter()
+        if EIGVALS_ONLY:
+            np.linalg.eigvalsh(A)
+        else:
+            np.linalg.eigh(A)
+        result["host_numpy_s"] = round(time.perf_counter() - t0, 1)
+        result["vs_host_numpy"] = round(result["host_numpy_s"] /
+                                        result["value"], 2)
+
+    path = os.path.join(_HERE, "DENSE_EIGH.json")
+    existing = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except Exception:
+            existing = {}
+    existing[result["metric"]] = result
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=1)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
