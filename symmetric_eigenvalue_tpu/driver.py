@@ -596,7 +596,8 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
 
     @jax.jit
     def fn(A):
-        d, e, V, tau = tridiagonalize(A, panel=panel)
+        d, e, V, tau = tridiagonalize(A, panel=panel,
+                                      buckets=4 if n >= 8192 else 1)
         lam, W = _solve(d, e, None, plan, config,
                         want_vectors=not eigvals_only, mesh=mesh)
         if eigvals_only:
@@ -613,7 +614,10 @@ def _compiled_tridiagonalize(n: int, dtype_name: str, panel: int):
 
     # donate A: the 2 GB (n=16384 f64) dense input buffer is dead after the
     # front-end, and the staged pipeline needs the headroom
-    return jax.jit(functools.partial(tridiagonalize, panel=panel),
+    # buckets: trailing-submatrix streaming optimization — the per-column
+    # matvec is the dominant cost at n=16384 (see tridiagonalize docstring)
+    return jax.jit(functools.partial(tridiagonalize, panel=panel,
+                                     buckets=4 if n >= 8192 else 1),
                    donate_argnums=(0,))
 
 

@@ -198,6 +198,11 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
             return yb + jnp.where(passthrough, Xs, jnp.zeros_like(yb))
         _warn_pallas_fallback(m, X.shape[1])
 
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+
     def row_block(rows):
         denom = _denom_block(rep, rows, slots)
         Mb = (rep.zhat[rows][:, None] / denom) * ncol_inv[None, :]
@@ -205,8 +210,16 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
         # and cast so the matmul runs at the MXU's native f32 rate; HIGHEST
         # for f32 because TPU's default f32 dot is a single bf16 pass (~4e-3
         # — would swamp the refinement's f32-grade contamination model)
-        prec = (lax.Precision.HIGHEST if Xs.dtype == jnp.float32 else None)
-        yb = jnp.matmul(Mb.astype(Xs.dtype), Xs, precision=prec)
+        if Xs.dtype == jnp.float64 and on_tpu:
+            # f64-vectors mode: XLA's emulated-f64 mat-mat dot is only
+            # ~1e-6-grade at these contraction lengths (CLAUDE.md) — ride
+            # the double-word MXU kernel instead
+            from .pallas.dword_matmul import dword_matmul
+            yb = dword_matmul(Mb, Xs)
+        else:
+            prec = (lax.Precision.HIGHEST if Xs.dtype == jnp.float32
+                    else None)
+            yb = jnp.matmul(Mb.astype(Xs.dtype), Xs, precision=prec)
         # inactive columns are e_slot: identity passthrough on inactive rows
         passthrough = (rows >= rep.K)[:, None]
         return yb + jnp.where(passthrough, Xs[rows], jnp.zeros_like(yb))

@@ -81,12 +81,86 @@ def _householder(x, j, n):
     return v, tau, alpha
 
 
-def tridiagonalize(A, panel: int = 32):
+def _tridiagonalize_block(As, ncols: int, nb: int, use_dword: bool):
+    """Run the blocked-Householder reduction over the FIRST ``ncols`` columns
+    of the trailing symmetric submatrix ``As`` (m, m).
+
+    Returns (As_updated, Vtb (ncols, m) reflector rows in LOCAL coordinates,
+    taus (ncols,), evec (ncols,)).  Reflector for local column j has zeros at
+    entries <= j and unit at j+1, exactly the full-matrix convention shifted.
+    """
+    m = As.shape[0]
+    dtype = As.dtype
+    num_panels = (ncols + nb - 1) // nb
+    if use_dword:
+        from .pallas.dword_matvec import dword_vecmat
+
+    # pad ncols to whole panels (masked no-op columns)
+    Vtb = jnp.zeros((num_panels * nb, m), dtype)
+    taus = jnp.zeros((num_panels * nb,), dtype)
+    evec = jnp.zeros((num_panels * nb,), dtype)
+
+    def panel_body(p, carry):
+        As, Vtb, taus, evec = carry
+        o = p * nb
+        Vp = jnp.zeros((nb, m), dtype)   # panel reflectors, rows
+        Wp = jnp.zeros((nb, m), dtype)   # panel W accumulators, rows
+        if use_dword:
+            from .pallas.cauchy_matmul import split_f64
+            # split once per panel; As is constant through the inner loop
+            # (delayed updates), so the pair stays exact all panel long
+            Ah, Al = split_f64(As)
+
+        def col_body(jj, inner):
+            As, Vp, Wp, Vtb, taus, evec = inner
+            j = o + jj
+            live = (j < m - 1) & (j < ncols)
+            # delayed update of column j (= row j: As and its updates stay
+            # symmetric):  a = (As - Vp^T Wp - Wp^T Vp)[j, :]
+            aj = lax.dynamic_slice(As, (j, 0), (1, m))[0]
+            vcol = lax.dynamic_slice(Vp, (0, j), (nb, 1))[:, 0]   # Vp[:, j]
+            wcol = lax.dynamic_slice(Wp, (0, j), (nb, 1))[:, 0]   # Wp[:, j]
+            a = aj - wcol @ Vp - vcol @ Wp
+            v, tau, alpha = _householder(a, j, m)
+            v = jnp.where(live, v, jnp.zeros_like(v))
+            tau = jnp.where(live, tau, 0.0)
+            # w = tau * (A_updated v), delayed; As v = v As (symmetry)
+            vA = dword_vecmat(v, Ah, Al) if use_dword else v @ As
+            Av = vA - (Wp @ v) @ Vp - (Vp @ v) @ Wp
+            w = tau * Av
+            w = w - (0.5 * tau * jnp.dot(w, v)) * v
+            Vp = lax.dynamic_update_slice(Vp, v[None, :], (jj, 0))
+            Wp = lax.dynamic_update_slice(Wp, w[None, :], (jj, 0))
+            Vtb = lax.dynamic_update_slice(Vtb, v[None, :], (j, 0))
+            taus = taus.at[j].set(tau)
+            evec = evec.at[j].set(jnp.where(live, alpha, evec[j]))
+            return As, Vp, Wp, Vtb, taus, evec
+
+        As, Vp, Wp, Vtb, taus, evec = lax.fori_loop(
+            0, nb, col_body, (As, Vp, Wp, Vtb, taus, evec))
+        # trailing symmetric rank-2k update, fused: As -= [V;W]^T [W;V]
+        As = As - _mm(jnp.concatenate([Vp, Wp], axis=0).T,
+                      jnp.concatenate([Wp, Vp], axis=0), use_dword)
+        return As, Vtb, taus, evec
+
+    As, Vtb, taus, evec = lax.fori_loop(
+        0, num_panels, panel_body, (As, Vtb, taus, evec))
+    return As, Vtb[:ncols], taus[:ncols], evec[:ncols]
+
+
+def tridiagonalize(A, panel: int = 32, buckets: int = 1):
     """A (n, n) symmetric -> (d (n,), e (n-1,), Vt (n, n), tau (n,)).
 
     T = Q^T A Q with Q = H_0 H_1 ... H_{n-3};  H_k = I - tau_k v_k v_k^T where
     v_k = Vt[k, :] (reflectors stored as ROWS; zero at entries <= k, unit at
     entry k+1).
+
+    ``buckets``: split the column range into equal chunks, each processed on
+    a STATICALLY shrunk trailing submatrix A[c0:, c0:].  The per-column
+    ``v @ A`` matvec streams only the trailing block, so total HBM traffic
+    drops from n^3 reads toward the n^3/3 optimum (~0.4 n^3 at 8 buckets) —
+    the dominant cost at n=16384 where the full pair stream is ~2.7 ms per
+    column.  buckets=1 reproduces the round-2 single-pass behavior.
     """
     n = A.shape[0]
     dtype = A.dtype
@@ -94,75 +168,45 @@ def tridiagonalize(A, panel: int = 32):
         return (jnp.diagonal(A), jnp.zeros((0,), dtype),
                 jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype))
     nb = max(1, min(panel, n))
-    num_panels = (n - 1 + nb - 1) // nb
-
     use_dword = _use_dword_matvec(n, dtype)
-    n_orig = n
-    if use_dword:
-        from .pallas.dword_matvec import dword_vecmat
-        # pad A (zero border) so the kernel tiles evenly; reflectors are zero
-        # in pad entries, so the reduction of the padded matrix restricted to
-        # the first n_orig-1 columns is numerically identical
-        pad = (-n) % 512
-        if pad:
-            A = jnp.pad(A, ((0, pad), (0, pad)))
-            n = n + pad
 
+    buckets = max(1, min(int(buckets), (n - 1 + nb - 1) // nb))
+    # bucket cuts on panel boundaries covering columns [0, n-1)
+    width = -((n - 1) // -buckets)            # ceil
+    width = -((width) // -nb) * nb            # round up to whole panels
+    cuts = [0]
+    while cuts[-1] + width < n - 1:
+        cuts.append(cuts[-1] + width)
+    cuts.append(n - 1)
+
+    d = jnp.zeros((n,), dtype)
+    evec = jnp.zeros((n,), dtype)
     Vt = jnp.zeros((n, n), dtype)
     taus = jnp.zeros((n,), dtype)
-    evec = jnp.zeros((n,), dtype)    # e[j] at slot j
 
-    def panel_body(p, carry):
-        A, Vt, taus, evec = carry
-        o = p * nb
-        Vp = jnp.zeros((nb, n), dtype)   # panel reflectors, rows
-        Wp = jnp.zeros((nb, n), dtype)   # panel W accumulators, rows
+    As = A
+    for c0, c1 in zip(cuts[:-1], cuts[1:]):
+        m = n - c0
+        mp = m
         if use_dword:
-            from .pallas.cauchy_matmul import split_f64
-            # split once per panel; A is constant through the inner loop
-            # (delayed updates), so the pair stays exact all panel long
-            Ah, Al = split_f64(A)
+            # pad so the double-word kernels tile evenly; reflectors are zero
+            # in pad entries so results restricted to the first m rows/cols
+            # are numerically identical
+            pad = (-m) % 512
+            if pad:
+                As = jnp.pad(As, ((0, pad), (0, pad)))
+                mp = m + pad
+        ncols = c1 - c0
+        As, Vtb, tb, eb = _tridiagonalize_block(As, ncols, nb, use_dword)
+        Vt = lax.dynamic_update_slice(Vt, Vtb[:, :m], (c0, c0))
+        taus = lax.dynamic_update_slice(taus, tb, (c0,))
+        evec = lax.dynamic_update_slice(evec, eb, (c0,))
+        d = lax.dynamic_update_slice(d, jnp.diagonal(As)[:ncols], (c0,))
+        As = As[ncols:m, ncols:m]             # static shrink to next bucket
 
-        def col_body(jj, inner):
-            A, Vp, Wp, Vt, taus, evec = inner
-            j = o + jj
-            live = j < n - 1       # columns beyond n-2 are no-ops
-            # delayed update of column j (= row j: A and its updates stay
-            # symmetric):  a = (A - Vp^T Wp - Wp^T Vp)[j, :]
-            aj = lax.dynamic_slice(A, (j, 0), (1, n))[0]
-            vcol = lax.dynamic_slice(Vp, (0, j), (nb, 1))[:, 0]   # Vp[:, j]
-            wcol = lax.dynamic_slice(Wp, (0, j), (nb, 1))[:, 0]   # Wp[:, j]
-            a = aj - wcol @ Vp - vcol @ Wp
-            v, tau, alpha = _householder(a, j, n)
-            v = jnp.where(live, v, jnp.zeros_like(v))
-            tau = jnp.where(live, tau, 0.0)
-            # w = tau * (A_updated v) with delayed update; A v = v A (symmetry)
-            vA = dword_vecmat(v, Ah, Al) if use_dword else v @ A
-            Av = vA - (Wp @ v) @ Vp - (Vp @ v) @ Wp
-            w = tau * Av
-            w = w - (0.5 * tau * jnp.dot(w, v)) * v
-            Vp = lax.dynamic_update_slice(Vp, v[None, :], (jj, 0))
-            Wp = lax.dynamic_update_slice(Wp, w[None, :], (jj, 0))
-            Vt = lax.dynamic_update_slice(Vt, v[None, :], (j, 0))
-            taus = taus.at[j].set(tau)
-            evec = evec.at[j].set(jnp.where(live, alpha, evec[j]))
-            return A, Vp, Wp, Vt, taus, evec
-
-        A, Vp, Wp, Vt, taus, evec = lax.fori_loop(
-            0, nb, col_body, (A, Vp, Wp, Vt, taus, evec))
-        # trailing symmetric rank-2k update, fused: A -= [V;W]^T [W;V]
-        A = A - _mm(jnp.concatenate([Vp, Wp], axis=0).T,
-                    jnp.concatenate([Wp, Vp], axis=0), use_dword)
-        return A, Vt, taus, evec
-
-    A, Vt, taus, evec = lax.fori_loop(
-        0, num_panels, panel_body, (A, Vt, taus, evec))
-
-    d = jnp.diagonal(A)[:n_orig] if use_dword else jnp.diagonal(A)
-    e = evec[: n_orig - 1]
-    if use_dword and n != n_orig:
-        Vt = Vt[:n_orig, :n_orig]
-        taus = taus[:n_orig]
+    # last (n - cuts[-1]) columns are inside the final 1x1/2x2 tail
+    d = lax.dynamic_update_slice(d, jnp.diagonal(As), (cuts[-1],))
+    e = evec[: n - 1]
     return d, e, Vt, taus
 
 

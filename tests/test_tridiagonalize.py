@@ -77,6 +77,26 @@ def test_dense_eigh_already_tridiagonal(rng):
     assert np.abs(np.asarray(lam) - wref).max() < 1e-12 * max(1, np.abs(wref).max())
 
 
+@pytest.mark.parametrize("n,panel,buckets", [(64, 8, 3), (100, 8, 4),
+                                             (129, 16, 4), (33, 8, 2)])
+def test_tridiagonalize_bucketed(n, panel, buckets, rng):
+    """Trailing-submatrix bucketing (the n=16384 HBM-stream optimization)
+    must be numerically identical to the single-pass reduction."""
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    d, e, Vt, tau = jax.jit(lambda A: tridiagonalize(
+        A, panel=panel, buckets=buckets))(jnp.asarray(A))
+    d, e = np.asarray(d), np.asarray(e)
+    T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    w0 = np.linalg.eigvalsh(A)
+    assert np.abs(w0 - np.linalg.eigvalsh(T)).max() < 1e-12 * max(
+        1, np.abs(w0).max())
+    Q = np.asarray(apply_q(Vt, tau, jnp.eye(n, dtype=jnp.float64),
+                           panel=panel))
+    assert np.abs(A @ Q - Q @ T).max() < 1e-12
+    assert np.abs(Q.T @ Q - np.eye(n)).max() < 1e-13
+
+
 def test_dense_eigh_staged_route(rng):
     """Above single_jit_max_n, eigh runs front-end -> staged solve ->
     backtransform as separate dispatches (the n=16384 TPU path)."""
