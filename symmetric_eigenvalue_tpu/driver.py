@@ -586,9 +586,13 @@ def eigh_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
 
 @functools.lru_cache(maxsize=32)
 def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
-                   mesh_id, panel: int):
+                   mesh_id, panel: int, band: int = 0):
     """Cached jit for the dense path: the front-end's first compile is ~10 min
-    on the tunneled TPU, so repeat calls must reuse the traced function."""
+    on the tunneled TPU, so repeat calls must reuse the traced function.
+
+    ``band`` > 0 selects the two-stage SBR front-end (dense -> band(b) by
+    GEMM panels -> tridiagonal by Givens chasing; kernels/band_reduce.py)
+    with eigenvectors back through Q1 Q2."""
     from .kernels.tridiagonalize import apply_q, tridiagonalize
 
     plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
@@ -596,13 +600,23 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
 
     @jax.jit
     def fn(A):
-        d, e, V, tau = tridiagonalize(A, panel=panel,
-                                      buckets=4 if n >= 8192 else 1)
+        if band > 0:
+            from .kernels.band_reduce import (apply_q2, band_to_tridiag,
+                                              reduce_to_band)
+            B, Yt, taus = reduce_to_band(A, band)
+            d, e, cs = band_to_tridiag(B, band)
+        else:
+            d, e, Yt, taus = tridiagonalize(A, panel=panel,
+                                            buckets=4 if n >= 8192 else 1)
         lam, W = _solve(d, e, None, plan, config,
                         want_vectors=not eigvals_only, mesh=mesh)
         if eigvals_only:
             return lam, None
-        X = apply_q(V, tau, W, panel=panel)
+        if band > 0:
+            W = apply_q2(n, band, cs, W)
+            X = apply_q(Yt, taus, W, panel=band)
+        else:
+            X = apply_q(Yt, taus, W, panel=panel)
         return lam, X
 
     return fn
@@ -632,10 +646,16 @@ def _compiled_apply_q(n: int, ncols: int, dtype_name: str, panel: int):
 
 
 def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
-         eigvals_only: bool = False, mesh=None, panel: int = 32):
+         eigvals_only: bool = False, mesh=None, panel: int = 32,
+         band: int = 0):
     """Dense symmetric eigensolver: Householder tridiagonalization front-end
     (kernels/tridiagonalize.py) + the Cuppen tridiagonal solver + compact-WY
     backtransformation.  Returns lam or (lam, V) like jnp.linalg.eigh.
+
+    ``band`` > 0 selects the two-stage SBR front-end instead (dense -> band
+    by GEMM panels -> tridiagonal by Givens chasing, kernels/band_reduce.py;
+    correctness tier — the chasing replays sequentially, so keep n <= ~2048
+    until the wavefront schedule lands).
 
     (The reference has no dense path — this fulfils BASELINE.md's end-to-end
     dense requirement.)
@@ -649,7 +669,8 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
     # solve_tridiagonal's auto-route): jit front-end -> staged tridiagonal
     # solve -> jit compact-WY backtransform, donating the big buffers
     # between stages so peak HBM stays bounded at the headline sizes.
-    if (not eigvals_only) and n > config.resolved_single_jit_max_n():
+    if (not eigvals_only) and band == 0 \
+            and n > config.resolved_single_jit_max_n():
         d, e, Vt, tau = _compiled_tridiagonalize(
             n, str(A.dtype), panel)(A)
         res, _ = solve_tridiagonal_staged(
@@ -660,7 +681,8 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
         return res.eigenvalues, X
 
     mesh_key = (id(mesh), mesh) if mesh is not None else None
-    fn = _compiled_eigh(n, config, eigvals_only, mesh_key, panel)
+    fn = _compiled_eigh(n, config, eigvals_only, mesh_key, panel,
+                        int(band))
     lam, X = fn(A)
     if eigvals_only:
         return lam

@@ -104,3 +104,93 @@ def reduce_to_band(A, band: int = 128):
 
     A, Yt, taus = lax.fori_loop(0, num_panels, panel_body, (A, Yt, taus))
     return A, Yt, taus
+
+
+def _chase_schedule(n: int, b: int):
+    """Static Givens schedule for band(b) -> tridiagonal (Schwarz chasing).
+
+    Element (i, j) of column j (eliminated bottom-up) is zeroed by a rotation
+    of rows (i-1, i); the two-sided application pushes a single bulge to
+    (i + b, i - 1), giving the data-independent chase recurrence
+    (pi, pj) -> (pi + b, pi - 1) until the band edge.  The schedule depends
+    only on (n, b) — verified against a fill-scanning reference.
+    """
+    import numpy as np
+    sched = []
+    for j in range(n - 2):
+        for i in range(min(j + b, n - 1), j + 1, -1):
+            pi, pj = i, j
+            while pi < n:
+                sched.append((pi, pj))
+                pj = pi - 1
+                pi = pi + b
+    if not sched:
+        sched = [(1, 0)]          # degenerate; rotation becomes identity
+    return np.asarray(sched, np.int32)
+
+
+def band_to_tridiag(B, band: int):
+    """Banded symmetric B (n, n) -> (d, e, rot (S, 2) c/s log).
+
+    Stage 2 of the two-stage reduction:  T = Q2^T B Q2 with
+    Q2^T = G_S ... G_1 (G_t a Givens rotation of rows (pi_t - 1, pi_t)).
+    O(n^2 b) work on O(1)-size windows.
+
+    CORRECTNESS-TIER IMPLEMENTATION: the rotations replay sequentially under
+    one fori_loop (the schedule is static), so per-step dispatch latency
+    (~50 us on TPU) bounds throughput — fine up to n~2048.  The TPU-rate
+    version batches the schedule into wavefronts of row-disjoint rotations
+    >=2b apart (they commute exactly, and parameter reads don't alias other
+    rotations' row/col support at that spacing) — see PARITY.md TODO.
+    """
+    n = B.shape[0]
+    b = int(band)
+    dtype = B.dtype
+    sched = jnp.asarray(_chase_schedule(n, b))
+    S = sched.shape[0]
+
+    def body(t, carry):
+        A, cs = carry
+        pi = sched[t, 0]
+        pj = sched[t, 1]
+        x = A[pi - 1, pj]
+        y = A[pi, pj]
+        r = jnp.hypot(x, y)
+        safe = jnp.where(r == 0, 1.0, r)
+        c = jnp.where(r == 0, jnp.ones_like(x), x / safe)
+        s = jnp.where(r == 0, jnp.zeros_like(y), -y / safe)
+        G = jnp.stack([jnp.stack([c, -s]), jnp.stack([s, c])])
+        zero = jnp.zeros((), pi.dtype)
+        R = lax.dynamic_slice(A, (pi - 1, zero), (2, n))
+        A = lax.dynamic_update_slice(A, G @ R, (pi - 1, zero))
+        Cc = lax.dynamic_slice(A, (zero, pi - 1), (n, 2))
+        A = lax.dynamic_update_slice(A, Cc @ G.T, (zero, pi - 1))
+        cs = lax.dynamic_update_slice(cs, jnp.stack([c, s])[None, :],
+                                      (jnp.asarray(t, pi.dtype), zero))
+        return A, cs
+
+    A, cs = lax.fori_loop(0, S, body, (B, jnp.zeros((S, 2), dtype)))
+    return jnp.diagonal(A), jnp.diagonal(A, offset=1), cs
+
+
+def apply_q2(n: int, band: int, cs, X):
+    """X <- Q2 @ X (eigenvector backtransform through the stage-2 rotations).
+
+    Q2 = G_1^T ... G_S^T, so apply G_t^T for t = S..1 to rows
+    (pi_t - 1, pi_t) of X.  Sequential replay (correctness tier, see
+    band_to_tridiag).
+    """
+    sched = jnp.asarray(_chase_schedule(n, int(band)))
+    S = sched.shape[0]
+
+    def body(k, X):
+        t = S - 1 - k
+        pi = sched[t, 0]
+        c = cs[t, 0]
+        s = cs[t, 1]
+        Gt = jnp.stack([jnp.stack([c, s]), jnp.stack([-s, c])])
+        zero = jnp.zeros((), pi.dtype)
+        R = lax.dynamic_slice(X, (pi - 1, zero), (2, X.shape[1]))
+        return lax.dynamic_update_slice(X, Gt @ R, (pi - 1, zero))
+
+    return lax.fori_loop(0, S, body, X)
