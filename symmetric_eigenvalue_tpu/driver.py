@@ -457,7 +457,8 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
         # Poisson blemish).  Cleaning here costs residual ~ mixing*gap
         # (<=1e-13*||T||), which the second pass then polishes away.
         V = orthonormalize_clusters(lam_np, V, norm_t,
-                                    gap_factor=config.ortho_gap_factor)
+                                    gap_factor=config.ortho_gap_factor,
+                                    min_gap_factor=config.cluster_gap_factor)
         idx = np.nonzero(risky)[0]
         if idx.size:
             # pad to a power-of-two bucket to bound recompilations

@@ -419,7 +419,8 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8):
+def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
+                            min_gap_factor: float = 0.0):
     """Orthonormalize eigenvector groups whose eigenvalue gaps are below
     gap_factor * ||T|| (inverse iteration cannot separate them; any orthonormal
     basis of the cluster subspace has an equally small residual).
@@ -435,6 +436,18 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8):
     n=4096 bench — ~64 sequential emulated-f64 QR dispatches); oversized
     segments (rare: a >256-fold degeneracy) fall back to explicit QR."""
     segs = cluster_segments(lam, gap_factor * norm_t)
+    if min_gap_factor > 0.0 and segs:
+        # keep only segments containing at least one gap ABOVE
+        # min_gap_factor*||T||: fully-degenerate clusters (every gap below)
+        # gain nothing from an early cleanup — refinement cannot separate
+        # them anyway and the final pass gives them their orthonormal basis.
+        # (The clustered-spectrum bench is entirely such segments; cleaning
+        # them mid-refinement cost ~0.3 s for zero accuracy benefit.)
+        import numpy as np
+        lam_np = np.asarray(lam)
+        thr = min_gap_factor * norm_t
+        segs = [(s, t) for (s, t) in segs
+                if np.diff(lam_np[s:t]).max(initial=0.0) >= thr]
     if not segs:
         return V
 
