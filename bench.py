@@ -260,14 +260,22 @@ def run_extras(results):
             results["skipped"] = results.get("skipped", []) + [
                 f"n{n}_{matrix}" + ("" if vectors else "_novec")]
             continue
-        try:
-            r = run_config(n, SEED, matrix, vectors, reps,
-                           baseline_cap=max(BUDGET - elapsed, 0.0))
-            results["configs"].append(r)
-        except Exception as exc:       # noqa: BLE001 — extras are best-effort
-            log(f"extras: config n={n} {matrix} failed: {exc!r}")
-            results["errors"] = results.get("errors", []) + [
-                {"config": f"n{n}_{matrix}", "error": repr(exc)}]
+        # one retry: the tunneled TPU's remote-compile endpoint occasionally
+        # drops a response mid-read (transient), which must not cost the
+        # round its artifact for this config
+        for attempt in (0, 1):
+            try:
+                r = run_config(n, SEED, matrix, vectors, reps,
+                               baseline_cap=max(BUDGET - elapsed, 0.0))
+                results["configs"].append(r)
+                break
+            except Exception as exc:   # noqa: BLE001 — extras are best-effort
+                log(f"extras: config n={n} {matrix} failed"
+                    f" (attempt {attempt + 1}): {exc!r}")
+                if attempt == 1 or time.perf_counter() - _T_START > BUDGET:
+                    results["errors"] = results.get("errors", []) + [
+                        {"config": f"n{n}_{matrix}", "error": repr(exc)}]
+                    break
         try:
             with open(EXTRA_PATH, "w") as f:
                 json.dump(results, f, indent=1)

@@ -22,6 +22,18 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
+try:
+    # persistent compile cache: the suite is dominated by XLA:CPU compiles
+    # (~15 min cold), and cache keys include the platform so sharing the
+    # repo-level .jax_cache with TPU runs is safe.  Same-machine reuse only
+    # (XLA:CPU entries embed host CPU features) — exactly the usage here.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

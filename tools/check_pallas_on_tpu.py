@@ -209,5 +209,28 @@ if __name__ == "__main__":
     ok = (r1 < 1e-6 and r1b < 1e-6 and r2 < 1e-12 and r3 < 1e-12
           and r4 < 1e-11 and r5 < 1e-12 and r5b < 1e-5
           and r6 < 1e-13 and r6gm == 0.0)
+    # machine-readable artifact: real-hardware kernel validation must be
+    # driver-durable, not hand-copied prose (VERDICT r2)
+    import json
+    import time
+    out = {
+        "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "backend": jax.default_backend(),
+        "rel_errors": {
+            "cauchy_matmul_m16384_C2048": float(f"{r1:.3e}"),
+            "cauchy_matmul_m64_C2048": float(f"{r1b:.3e}"),
+            "dword_vecmat_n4096": float(f"{r2:.3e}"),
+            "dword_matmul_2048x512x2048": float(f"{r3:.3e}"),
+            "cauchy_rowsum_m16384": float(f"{r4:.3e}"),
+            "secular_sums_S1_m16384_B2048": float(f"{r5:.3e}"),
+            "secular_sums_S2_m16384_B2048": float(f"{r5b:.3e}"),
+            "dword_slicing_recon_K16384": float(f"{r6:.3e}"),
+            "dword_slicing_grid_offsets": float(r6gm),
+        },
+        "ok": bool(ok),
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "PALLAS_TPU.json"), "w") as f:
+        json.dump(out, f, indent=1)
     print("OK" if ok else "FAIL")
     sys.exit(0 if ok else 1)
