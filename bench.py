@@ -283,9 +283,41 @@ def run_extras(results):
             pass
 
 
+def _backend_init_watchdog(timeout_s):
+    """The tunneled TPU plugin retries a down tunnel inside backend init for
+    ~50 min before raising; a driver-run bench must fail fast with a parseable
+    JSON line instead of hanging past its budget with no output."""
+    import threading
+
+    done = threading.Event()
+
+    def boom():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": f"wallclock_full_eigenpairs_n{N}",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "error": f"jax backend init did not complete within "
+                         f"{timeout_s:.0f}s (TPU tunnel down?)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=boom, daemon=True).start()
+    return done
+
+
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    done = _backend_init_watchdog(
+        float(os.environ.get("BENCH_BACKEND_TIMEOUT", "900")))
+    try:
+        jax.devices()      # force backend init under the watchdog
+    except Exception as exc:   # noqa: BLE001 — emit a parseable failure line
+        print(json.dumps({
+            "metric": f"wallclock_full_eigenpairs_n{N}",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"jax backend init failed: {exc!r:.300}"}), flush=True)
+        sys.exit(3)
+    done.set()
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(_HERE, ".jax_cache"))
