@@ -22,6 +22,7 @@ refinement).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -397,11 +398,18 @@ def risky_columns(lam_np, norm_t: float, config: SolverConfig):
     return risky
 
 
-def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
+def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     """Mixed-precision epilogue: one f64 inverse-iteration pass restores
     working-precision residuals from the f32 downsweep; clusters that inverse
-    iteration cannot separate are re-orthonormalized (dstein-style)."""
+    iteration cannot separate are re-orthonormalized (dstein-style).
+
+    ``subtimer`` (a PhaseTimer) records per-step walls with device syncs —
+    profiling only, the syncs serialize the epilogue's async dispatch."""
     from .kernels.refine import orthonormalize_clusters
+    from .utils.timing import PhaseTimer
+    from .utils.timing import sync as _sync
+    prof = subtimer is not None
+    subtimer = subtimer if prof else PhaseTimer()
 
     lam_sel = lam[sel]
     C = int(sel.shape[0])
@@ -420,7 +428,10 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
         return jnp.concatenate(parts, axis=1)
 
     # first inverse-iteration pass over everything
-    V = one_pass(lam_sel, V, config.refine_block)
+    with subtimer.phase("refine_pass1"):
+        V = one_pass(lam_sel, V, config.refine_block)
+        if prof:
+            _sync(V)
 
     # Adaptive extra passes, with the ALTERNATE solver block size (see
     # SolverConfig.refine_block_alt): columns whose eigenvalue gaps the f32
@@ -445,7 +456,8 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
 
     if config.refine_steps > 1 and C > 1:
         risky = risky_columns(lam_np, norm_t, config)
-        res1 = residuals_chunked(lam_sel, V)
+        with subtimer.phase("residuals1"):
+            res1 = residuals_chunked(lam_sel, V)
         thr_res = config.refine_residual_factor * config.eps() * \
             max(norm_t, 1e-30)
         risky = risky | (res1 > thr_res)
@@ -456,9 +468,12 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
         # per refinement pass and stalls ~1e-6 at gap ~ 1e-7*||T|| (round-2
         # Poisson blemish).  Cleaning here costs residual ~ mixing*gap
         # (<=1e-13*||T||), which the second pass then polishes away.
-        V = orthonormalize_clusters(lam_np, V, norm_t,
-                                    gap_factor=config.ortho_gap_factor,
-                                    min_gap_factor=config.cluster_gap_factor)
+        with subtimer.phase("ortho_mid"):
+            V = orthonormalize_clusters(lam_np, V, norm_t,
+                                        gap_factor=config.ortho_gap_factor,
+                                        min_gap_factor=config.cluster_gap_factor)
+            if prof:
+                _sync(V)
         idx = np.nonzero(risky)[0]
         if idx.size:
             # pad to a power-of-two bucket to bound recompilations
@@ -467,34 +482,42 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig):
                 b *= 2
             idx_p = np.concatenate([idx, np.zeros(b - idx.size, np.int64)])
             idx_j = jnp.asarray(idx_p)
-            Vr = V[:, idx_j]
-            lam_r = lam_sel[idx_j]
-            for _ in range(config.refine_steps - 1):
-                Vr = one_pass(lam_r, Vr, config.refine_block_alt)
-            # keep the BETTER of pre/post-pass per column: a column resonant
-            # with the alternate block size gets *degraded* by the extra pass
-            # (observed: Poisson columns at ~k*(alt_nb+1) block-eigenvalue
-            # spacings), so the pass must never be allowed to lose ground
-            res_b = residuals_chunked(lam_r, Vr)
-            improved = np.zeros(C, dtype=bool)
-            improved[idx] = res_b[: idx.size] < res1[idx]
-            keep = risky & improved
-            # write back with gather+select: any large scatter busts the TPU's
-            # 16MB scoped-VMEM limit in either orientation
-            srcpos = np.zeros(C, np.int64)
-            srcpos[idx] = np.arange(idx.size)
-            V = jax.jit(
-                lambda V, Vr, mask, sp: jnp.where(mask[None, :],
-                                                  Vr[:, sp], V))(
-                V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
+            with subtimer.phase("refine_extra"):
+                Vr = V[:, idx_j]
+                lam_r = lam_sel[idx_j]
+                for _ in range(config.refine_steps - 1):
+                    Vr = one_pass(lam_r, Vr, config.refine_block_alt)
+                # keep the BETTER of pre/post-pass per column: a column
+                # resonant with the alternate block size gets *degraded* by
+                # the extra pass (observed: Poisson columns at ~k*(alt_nb+1)
+                # block-eigenvalue spacings), so the pass must never be
+                # allowed to lose ground
+                res_b = residuals_chunked(lam_r, Vr)
+                improved = np.zeros(C, dtype=bool)
+                improved[idx] = res_b[: idx.size] < res1[idx]
+                keep = risky & improved
+                # write back with gather+select: any large scatter busts the
+                # TPU's 16MB scoped-VMEM limit in either orientation
+                srcpos = np.zeros(C, np.int64)
+                srcpos[idx] = np.arange(idx.size)
+                V = jax.jit(
+                    lambda V, Vr, mask, sp: jnp.where(mask[None, :],
+                                                      Vr[:, sp], V))(
+                    V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
+                if prof:
+                    _sync(V)
 
     # final cleanup at the WIDE threshold: after the passes above the mixing
     # in [cluster_gap_factor, ortho_gap_factor) segments is tiny, so this is
     # a near-identity CholeskyQR there (residual cost ~ mixing*gap ~ 0) while
     # genuinely degenerate clusters below cluster_gap_factor get their final
     # orthonormal basis as before
-    return orthonormalize_clusters(lam_np, V, norm_t,
-                                   gap_factor=config.ortho_gap_factor)
+    with subtimer.phase("ortho_final"):
+        V = orthonormalize_clusters(lam_np, V, norm_t,
+                                    gap_factor=config.ortho_gap_factor)
+        if prof:
+            _sync(V)
+    return V
 
 
 def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
@@ -562,16 +585,29 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
             sel = jnp.asarray(np.asarray(select, dtype=np.int64))
         else:
             sel = jnp.arange(n)
+        # SE_PROFILE_BACKTRANSFORM=1: record per-step walls (with device
+        # syncs between steps — profiling only, perturbs async overlap)
+        prof = os.environ.get("SE_PROFILE_BACKTRANSFORM") == "1"
+        subtimer = PhaseTimer() if prof else None
         with timer.phase("backtransformation"):
             if leaf_only:
                 V = Q[0][:, :n][:, sel]
             else:
-                V = downsweep_stepped(reps, Q, n, config, sel, mesh)
+                if prof:
+                    with subtimer.phase("downsweep"):
+                        V = _sync(downsweep_stepped(reps, Q, n, config, sel,
+                                                    mesh))
+                else:
+                    V = downsweep_stepped(reps, Q, n, config, sel, mesh)
                 if config.mixed_precision_vectors:
                     # refine in the *prescaled* system (d, e here are already
                     # divided by snorm): shifts must match that scaling
-                    V = _refine_vectors(d, e, lam_flat[:n], sel, V, config)
+                    V = _refine_vectors(d, e, lam_flat[:n], sel, V, config,
+                                        subtimer=subtimer)
             V = _sync(V)
+        if prof:
+            for k, v in subtimer.times.items():
+                timer.times[f"bt.{k}"] = v
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer
 
 

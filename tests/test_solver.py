@@ -134,6 +134,26 @@ def test_staged_solver_matches(rng):
     assert "backtransformation" in timer.times
 
 
+def test_staged_profile_subphases(rng, monkeypatch):
+    """SE_PROFILE_BACKTRANSFORM=1 records per-step walls of the mixed
+    epilogue (downsweep / refine passes / orthonormalizations) without
+    changing results."""
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+    n = 64
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    cfg = se.SolverConfig(leaf_size=8, mixed_precision_vectors=True)
+    res0, _ = solve_tridiagonal_staged(d, e, compute_vectors=True, config=cfg)
+    monkeypatch.setenv("SE_PROFILE_BACKTRANSFORM", "1")
+    res1, timer = solve_tridiagonal_staged(d, e, compute_vectors=True,
+                                           config=cfg)
+    assert "bt.downsweep" in timer.times
+    assert "bt.refine_pass1" in timer.times
+    assert "bt.ortho_final" in timer.times
+    assert np.abs(np.asarray(res0.eigenvectors)
+                  - np.asarray(res1.eigenvectors)).max() == 0.0
+
+
 def test_pure_recursion_leaf1(rng):
     n = 33
     d = rng.standard_normal(n)
