@@ -247,10 +247,12 @@ def run_extras(results):
     wall clock passes BENCH_BUDGET."""
     extra_cfgs = [
         # (n, matrix, vectors, reps) — BASELINE.md: clustered deflation
-        # stress, Poisson scheme-2, flagship-size eigenvalues-only
+        # stress, Poisson scheme-2, flagship-size eigenvalues-only; plus
+        # n=32768 full eigenpairs (2x the headline, ~9.5 GB peak on one chip)
         (4096, "clustered", True, 2),
         (16384, "poisson", True, 2),
         (65536, "random", False, 2),
+        (32768, "random", True, 2),
     ]
     for (n, matrix, vectors, reps) in extra_cfgs:
         elapsed = time.perf_counter() - _T_START

@@ -13,6 +13,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "parallel_codegen" not in os.environ["XLA_FLAGS"]:
+    # parallel LLVM codegen thrashes on few-core hosts (see CLAUDE.md)
+    os.environ["XLA_FLAGS"] += " --xla_cpu_parallel_codegen_split_count=1"
 
 import jax  # noqa: E402
 

@@ -34,6 +34,12 @@ if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
 os.environ["XLA_FLAGS"] += (
     " --xla_cpu_collective_timeout_seconds=7200"
     " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+if "parallel_codegen" not in os.environ["XLA_FLAGS"]:
+    # XLA:CPU's parallel LLVM codegen (default split 32) THRASHES on a
+    # 1-core host: 8+ spinning compile threads, ~97% kernel time, the
+    # n=8192 compile made no progress in an hour.  Single-threaded codegen
+    # runs at full speed.
+    os.environ["XLA_FLAGS"] += " --xla_cpu_parallel_codegen_split_count=1"
 
 import jax  # noqa: E402
 
