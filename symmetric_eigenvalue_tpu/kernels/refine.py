@@ -402,14 +402,17 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
             L, S, left_side=False, lower=True, transpose_a=True)
         # Guard: a (near-)singular Gram — columns the refinement could not
         # separate — makes cholesky yield NaN, or finite Y with orthogonality
-        # only ~cond(S)*eps.  Verify the RESULT per segment (one cheap
-        # (w, w) Gram) and keep the original columns where it fails so the
-        # caller can run an explicit QR instead.
-        G2 = gram(Y)
-        G2 = G2 + jnp.eye(wmax, dtype=V.dtype)[None] * eye_pad[:, :, None]
-        err = jnp.max(jnp.abs(G2 - jnp.eye(wmax, dtype=V.dtype)[None]),
-                      axis=(1, 2))
-        seg_ok = jnp.all(jnp.isfinite(Y), axis=(1, 2)) & (err < 1e-8)
+        # only ~cond(S)^2*eps.  Acceptance is decided A-PRIORI from G itself:
+        # Gershgorin row sums bound cond(G) <= (1+err)/(1-err), and one
+        # floating-point CholeskyQR of a full-rank S returns orthogonality
+        # ~cond(G)*n*u (u ~ 2^-48 here), so err < 0.1 guarantees <= ~n*u
+        # ~1e-10 at the flagship n — no second n-contraction Gram needed
+        # (it cost as much as the first; platform-corruption detection lives
+        # in the bench's post-hoc max_ortho_error instead).  Segments that
+        # fail keep their original columns; the caller runs explicit QR.
+        err = jnp.max(jnp.sum(jnp.abs(
+            G - jnp.eye(wmax, dtype=V.dtype)[None]), axis=2), axis=1)
+        seg_ok = jnp.all(jnp.isfinite(Y), axis=(1, 2)) & (err < 0.1)
         # scatter back: column j of V <- Y[colowner[j], :, colpos[j]]
         own = jnp.maximum(colowner, 0)
         repl = Y[own, :, colpos]              # (C, n)

@@ -108,3 +108,55 @@ def test_blocked_solver_matches_dense(rng):
             r = (T - lam[i] * np.eye(n)) @ X[:, i] - B[:, i]
             rel = np.abs(r).max() / max(np.abs(X[:, i]).max(), 1.0)
             assert rel < 1e-13, (n, nb, i, rel)
+
+
+def _orthonormal(rng, n, k):
+    q, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    return q
+
+
+def test_cluster_orth_batched_accept(rng):
+    """Near-orthonormal cluster columns (the common post-refinement case):
+    the batched CholeskyQR's a-priori Gershgorin acceptance must take the
+    fast path and return working-precision orthogonality."""
+    from symmetric_eigenvalue_tpu.kernels.refine import orthonormalize_clusters
+
+    n = 96
+    lam = np.arange(n, dtype=float)
+    lam[10:13] = 10.0          # one 3-fold cluster
+    lam[40:42] = 40.0          # one 2-fold cluster
+    V = _orthonormal(rng, n, n)
+    # perturb the cluster columns by ~1e-6 (f32-downsweep-grade mixing)
+    V[:, 10:13] += 1e-6 * rng.standard_normal((n, 3))
+    V[:, 40:42] += 1e-6 * rng.standard_normal((n, 2))
+    out = np.asarray(orthonormalize_clusters(
+        lam, jnp.asarray(V), norm_t=float(np.abs(lam).max())))
+    for s, t in [(10, 13), (40, 42)]:
+        blk = out[:, s:t]
+        assert np.abs(blk.T @ blk - np.eye(t - s)).max() < 1e-12
+        # same subspace as the input cluster (CholeskyQR, not a replacement)
+        proj = blk @ (blk.T @ V[:, s:t])
+        assert np.abs(proj - V[:, s:t]).max() < 1e-5
+    # non-cluster columns untouched
+    mask = np.ones(n, bool)
+    mask[10:13] = mask[40:42] = False
+    assert np.array_equal(out[:, mask], V[:, mask])
+
+
+def test_cluster_orth_rank_deficient_fallback(rng):
+    """A cluster whose columns the refinement could NOT separate (two
+    IDENTICAL columns -> singular Gram): the Gershgorin guard must reject the
+    segment a-priori and the explicit-QR fallback must still return an
+    orthonormal block."""
+    from symmetric_eigenvalue_tpu.kernels.refine import orthonormalize_clusters
+
+    n = 64
+    lam = np.arange(n, dtype=float)
+    lam[20:23] = 20.0
+    V = _orthonormal(rng, n, n)
+    V[:, 21] = V[:, 20]        # rank-deficient segment
+    out = np.asarray(orthonormalize_clusters(
+        lam, jnp.asarray(V), norm_t=float(np.abs(lam).max())))
+    assert np.isfinite(out).all()
+    blk = out[:, 20:23]
+    assert np.abs(blk.T @ blk - np.eye(3)).max() < 1e-12
