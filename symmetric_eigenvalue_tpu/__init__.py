@@ -32,6 +32,7 @@ from .core.tridiag import (  # noqa: E402
 from .driver import (  # noqa: E402
     EighTridiagonalResult,
     eigh,
+    eigh_banded,
     eigh_tridiagonal,
     residuals,
     solve_tridiagonal,
@@ -44,6 +45,7 @@ __all__ = [
     "EighTridiagonalResult",
     "create_matrix_scheme1",
     "eigh",
+    "eigh_banded",
     "create_matrix_scheme2",
     "eigenvalues_of_scheme2",
     "eigh_tridiagonal",

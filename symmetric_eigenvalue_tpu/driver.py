@@ -726,6 +726,100 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
     return lam, X
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_eigh_banded(n: int, u: int, config: SolverConfig,
+                          eigvals_only: bool, mesh_id):
+    """Cached jit for the banded path: band(u) -> tridiagonal by Givens
+    chasing (kernels/band_reduce.py) + Cuppen D&C + rotation backtransform."""
+    from .kernels.band_reduce import apply_q2, band_to_tridiag
+
+    plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
+    mesh = mesh_id[1] if mesh_id is not None else None
+
+    @jax.jit
+    def fn(B):
+        # prescale to O(1): rotations are scale-invariant, and TPU f64 has
+        # only the f32 exponent range (see _solve)
+        s = jnp.maximum(jnp.max(jnp.abs(B)), jnp.asarray(1e-30, B.dtype))
+        d, e, cs = band_to_tridiag(B / s, u)
+        lam, W = _solve(d, e, None, plan, config,
+                        want_vectors=not eigvals_only, mesh=mesh)
+        if eigvals_only:
+            return lam * s, None
+        return lam * s, apply_q2(n, u, cs, W)
+
+    return fn
+
+
+def eigh_banded(a_band, *, lower: bool = False,
+                config: SolverConfig = DEFAULT_CONFIG,
+                eigvals_only: bool = False, mesh=None):
+    """All eigenpairs of a real symmetric BANDED matrix, from LAPACK-style
+    band storage (``scipy.linalg.eig_banded`` conventions).
+
+    Args:
+      a_band: (u+1, n) band storage of the symmetric matrix A with u
+        off-diagonals.  Upper form (default): ``a_band[u + i - j, j] = A[i, j]``
+        for ``max(0, j-u) <= i <= j``; lower form (``lower=True``):
+        ``a_band[i - j, j] = A[i, j]`` for ``j <= i <= min(n-1, j+u)``.
+        Entries outside the valid range are ignored.
+      lower: which form ``a_band`` uses.
+      eigvals_only: skip eigenvectors.
+
+    Returns ``lam`` or ``(lam, V)`` with eigenvalues ascending.
+
+    u <= 1 routes straight to the tridiagonal solver.  u >= 2 runs the
+    band -> tridiagonal Givens chase (kernels/band_reduce.py — sequential
+    replay, correctness tier: keep n*u modest (~2048*8) until the wavefront
+    schedule lands, see PLAN_SBR2.md) and transforms eigenvectors back
+    through the rotation log.  The reference has no banded input path
+    (src/main.c reads tridiagonal MTX only) — this is BASELINE.md
+    completeness surface, mirroring LAPACK's dsbevd tier.
+    """
+    a_band = np.asarray(a_band)
+    if a_band.ndim != 2 or a_band.shape[0] < 1:
+        raise ValueError("a_band must be a (u+1, n) band-storage array")
+    u = int(a_band.shape[0]) - 1
+    n = int(a_band.shape[1])
+    if n == 0:
+        raise ValueError("empty matrix")
+    # extract diagonal k (>= 0): diag_k[j] = A[j, j+k] for j in [0, n-k)
+    def diag_k(k):
+        if lower:
+            return a_band[k, : n - k]       # A[j+k, j]
+        return a_band[u - k, k:]            # A[j, j+k] stored at col j+k
+
+    if u == 0 or n == 1:
+        diag = jnp.asarray(diag_k(0), config.dtype)
+        order = jnp.argsort(diag)
+        lam = diag[order]
+        if eigvals_only:
+            return lam
+        return lam, jnp.eye(n, dtype=config.dtype)[:, order]
+
+    if u == 1:
+        res = solve_tridiagonal(diag_k(0), diag_k(1), config=config,
+                                compute_vectors=not eigvals_only, mesh=mesh)
+        if eigvals_only:
+            return res.eigenvalues
+        return res.eigenvalues, res.eigenvectors
+
+    # densify (host-side, cheap relative to the chase) for the general case
+    A = np.zeros((n, n), dtype=np.asarray(a_band).dtype)
+    np.fill_diagonal(A, diag_k(0))
+    for k in range(1, min(u, n - 1) + 1):
+        bk = np.asarray(diag_k(k))
+        idx = np.arange(n - k)
+        A[idx, idx + k] = bk
+        A[idx + k, idx] = bk
+    mesh_key = (id(mesh), mesh) if mesh is not None else None
+    fn = _compiled_eigh_banded(n, u, config, eigvals_only, mesh_key)
+    lam, V = fn(jnp.asarray(A, config.dtype))
+    if eigvals_only:
+        return lam
+    return lam, V
+
+
 def residuals(d, e, result: EighTridiagonalResult, select=None):
     """Per-eigenpair residual ||T v - lam v|| (ref filehandling.c:513-531)."""
     lam = result.eigenvalues
