@@ -65,6 +65,24 @@ def test_selected_eigenvectors_file(tmp_path):
     assert max(r for r in res if r is not None) < 1e-10
 
 
+def test_evselect_duplicates_single_line(tmp_path):
+    """A duplicated selection index yields ONE computed residual and n output
+    lines — exact reference parity: its writer iterates eigenvalue positions
+    and advances the selection cursor past equal entries
+    (filehandling.c:342-345), so duplicates are computed/written once there
+    too (PARITY.md row 20)."""
+    ev = tmp_path / "ev.txt"
+    ev.write_text("5\n5\n5\n2\n")
+    out = tmp_path / "out.txt"
+    rc = main(["-s", "1", "-n", "12", f"-e{ev}", str(out)])
+    assert rc == 0
+    lam, res = read_results(out)
+    assert lam.shape[0] == 12                 # one line per eigenvalue, no extras
+    computed = [i for i, r in enumerate(res) if r is not None]
+    assert computed == [1, 4]
+    assert max(r for r in res if r is not None) < 1e-10
+
+
 def test_mtx_input(tmp_path):
     mtx = tmp_path / "tinyL.mtx"
     mtx.write_text(TINYL)
