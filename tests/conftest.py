@@ -27,13 +27,17 @@ except Exception:
     pass
 try:
     # persistent compile cache: the suite is dominated by XLA:CPU compiles
-    # (~15 min cold), and cache keys include the platform so sharing the
-    # repo-level .jax_cache with TPU runs is safe.  Same-machine reuse only
-    # (XLA:CPU entries embed host CPU features) — exactly the usage here.
+    # (~15 min cold).  The suite gets its OWN cache dir (.jax_cache_tests),
+    # NOT the repo-level .jax_cache used by bench/tools/TPU runs: a pytest
+    # run overlapping a bench/dryrun process on this host once hit a
+    # segfault inside compilation_cache.get_executable_and_time (reading an
+    # entry the other process was writing, 2026-08-18).  Same-machine reuse
+    # only (XLA:CPU entries embed host CPU features) — exactly the usage
+    # here.
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"))
+                     ".jax_cache_tests"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
