@@ -628,8 +628,8 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
     on the tunneled TPU, so repeat calls must reuse the traced function.
 
     ``band`` > 0 selects the two-stage SBR front-end (dense -> band(b) by
-    GEMM panels -> tridiagonal by Givens chasing; kernels/band_reduce.py)
-    with eigenvectors back through Q1 Q2."""
+    GEMM panels -> tridiagonal by wavefront bulge chasing;
+    kernels/band_reduce.py) with eigenvectors back through Q1 Q2."""
     from .kernels.tridiagonalize import apply_q, tridiagonalize
 
     plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
@@ -638,10 +638,11 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
     @jax.jit
     def fn(A):
         if band > 0:
-            from .kernels.band_reduce import (apply_q2, band_to_tridiag,
+            from .kernels.band_reduce import (apply_q2_wave,
+                                              band_to_tridiag_wave,
                                               reduce_to_band)
             B, Yt, taus = reduce_to_band(A, band)
-            d, e, cs = band_to_tridiag(B, band)
+            d, e, vlog = band_to_tridiag_wave(B, band)
         else:
             d, e, Yt, taus = tridiagonalize(A, panel=panel,
                                             buckets=4 if n >= 8192 else 1)
@@ -650,7 +651,7 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
         if eigvals_only:
             return lam, None
         if band > 0:
-            W = apply_q2(n, band, cs, W)
+            W = apply_q2_wave(n, band, vlog, W)
             X = apply_q(Yt, taus, W, panel=band)
         else:
             X = apply_q(Yt, taus, W, panel=panel)
@@ -690,9 +691,9 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
     backtransformation.  Returns lam or (lam, V) like jnp.linalg.eigh.
 
     ``band`` > 0 selects the two-stage SBR front-end instead (dense -> band
-    by GEMM panels -> tridiagonal by Givens chasing, kernels/band_reduce.py;
-    correctness tier — the chasing replays sequentially, so keep n <= ~2048
-    until the wavefront schedule lands).
+    by GEMM panels -> tridiagonal by WAVEFRONT bulge chasing,
+    kernels/band_reduce.py: Theta(n) batched-window dispatches, not
+    Theta(n^2) sequential rotations).
 
     (The reference has no dense path — this fulfils BASELINE.md's end-to-end
     dense requirement.)
@@ -729,24 +730,25 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
 @functools.lru_cache(maxsize=16)
 def _compiled_eigh_banded(n: int, u: int, config: SolverConfig,
                           eigvals_only: bool, mesh_id):
-    """Cached jit for the banded path: band(u) -> tridiagonal by Givens
-    chasing (kernels/band_reduce.py) + Cuppen D&C + rotation backtransform."""
-    from .kernels.band_reduce import apply_q2, band_to_tridiag
+    """Cached jit for the banded path: band(u) -> tridiagonal by wavefront
+    bulge chasing (kernels/band_reduce.py) + Cuppen D&C + reflector
+    backtransform."""
+    from .kernels.band_reduce import apply_q2_wave, band_to_tridiag_wave
 
     plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
 
     @jax.jit
     def fn(B):
-        # prescale to O(1): rotations are scale-invariant, and TPU f64 has
+        # prescale to O(1): reflectors are scale-invariant, and TPU f64 has
         # only the f32 exponent range (see _solve)
         s = jnp.maximum(jnp.max(jnp.abs(B)), jnp.asarray(1e-30, B.dtype))
-        d, e, cs = band_to_tridiag(B / s, u)
+        d, e, vlog = band_to_tridiag_wave(B / s, u)
         lam, W = _solve(d, e, None, plan, config,
                         want_vectors=not eigvals_only, mesh=mesh)
         if eigvals_only:
             return lam * s, None
-        return lam * s, apply_q2(n, u, cs, W)
+        return lam * s, apply_q2_wave(n, u, vlog, W)
 
     return fn
 
@@ -769,10 +771,10 @@ def eigh_banded(a_band, *, lower: bool = False,
     Returns ``lam`` or ``(lam, V)`` with eigenvalues ascending.
 
     u <= 1 routes straight to the tridiagonal solver.  u >= 2 runs the
-    band -> tridiagonal Givens chase (kernels/band_reduce.py — sequential
-    replay, correctness tier: keep n*u modest (~2048*8) until the wavefront
-    schedule lands, see PLAN_SBR2.md) and transforms eigenvectors back
-    through the rotation log.  The reference has no banded input path
+    band -> tridiagonal WAVEFRONT bulge chase (kernels/band_reduce.py,
+    Theta(n) batched-window dispatches; design PLAN_SBR2.md, exact-structure
+    oracle tools/oracle_chase_wave.py) and transforms eigenvectors back
+    through the reflector log.  The reference has no banded input path
     (src/main.c reads tridiagonal MTX only) — this is BASELINE.md
     completeness surface, mirroring LAPACK's dsbevd tier.
     """

@@ -173,6 +173,153 @@ def band_to_tridiag(B, band: int):
     return jnp.diagonal(A), jnp.diagonal(A, offset=1), cs
 
 
+def _wave_geometry(n: int, b: int):
+    """Static geometry shared by the wavefront chase and its backtransform."""
+    kmax_global = max((n - 3) // b, 0)
+    Kmax = kmax_global + 1            # hops per sweep, padded
+    Wmax = kmax_global // 3 + 1       # concurrent tasks per wave
+    Twaves = 3 * max(n - 3, 0) + 1
+    return Kmax, Wmax, Twaves
+
+
+def band_to_tridiag_wave(B, band: int):
+    """Banded symmetric B (n, n) -> (d, e, (Vw, tw)) by WAVEFRONT bulge
+    chasing — the TPU-rate replacement for :func:`band_to_tridiag`'s
+    sequential Givens replay (PLAN_SBR2.md; design validated exactly by
+    tools/oracle_chase_wave.py).
+
+    Decomposition: task (j, k) applies ONE Householder reflector on rows
+    [j+kb+1, j+(k+1)b], zeroing column (j for k=0, else j+(k-1)b+1) below the
+    band edge; each task's triangular bulge is consumed column-by-column by
+    the SUCCEEDING sweeps' same-hop tasks, so no task needs a triangular QR.
+    Wave schedule t = 3j + k: concurrent tasks sit 3b-1 apart on the
+    diagonal, with two-sided footprints (window cols [r-2b+1, r+3b-2])
+    exactly disjoint — each wave is one batched gather / batched reflector /
+    one scatter, Theta(n) dispatches total instead of Theta(n^2) rotations.
+
+    Returns ``d (n,)``, ``e (n-1,)`` and the reflector log
+    ``Vw (n-1, Kmax, b)`` / ``tw (n-1, Kmax)`` (row n-2 is parking space)
+    consumed by :func:`apply_q2_wave`.
+    """
+    n = B.shape[0]
+    b = int(band)
+    dtype = B.dtype
+    Kmax, Wmax, Twaves = _wave_geometry(n, b)
+    if n < 4 or b < 2:
+        Vw = jnp.zeros((max(n - 1, 1), Kmax, max(b, 1)), dtype)
+        tw = jnp.zeros((max(n - 1, 1), Kmax), dtype)
+        return jnp.diagonal(B), jnp.diagonal(B, offset=1), (Vw, tw)
+
+    W5 = 5 * b - 2                    # window width (cols [r-2b+1, r+3b-2])
+    OFF = 2 * b                       # live region offset in the padded array
+    NPARK = n + 8 * b                 # parking row for inactive slots
+    NP = n + 11 * b                   # padded size (park window stays inside)
+
+    P = jnp.zeros((NP, NP), dtype)
+    P = lax.dynamic_update_slice(P, B, (OFF, OFF))
+    Vw = jnp.zeros((n - 1, Kmax, b), dtype)   # row n-2 = parking
+    tw = jnp.zeros((n - 1, Kmax), dtype)
+
+    rowr = jnp.arange(b)
+    colr = jnp.arange(W5)
+    slots = jnp.arange(Wmax)
+
+    def wave_body(t, carry):
+        P, Vw, tw = carry
+        jj = t // 3 - slots
+        kk = (t % 3) + 3 * slots
+        valid = (jj >= 0) & (jj + kk * b + 2 <= n - 1)
+        r = jj + kk * b + 1
+        rp = jnp.where(valid, r + OFF, NPARK)
+        off = jnp.where(kk == 0, 2 * b - 2, b - 1)
+
+        S = jax.vmap(
+            lambda r0: lax.dynamic_slice(P, (r0, r0 - (2 * b - 1)), (b, W5))
+        )(rp)                                         # (W, b, W5)
+
+        x = jnp.take_along_axis(S, off[:, None, None], axis=2)[..., 0]
+        x0 = x[:, 0]
+        sigma2 = jnp.sum(x[:, 1:] * x[:, 1:], axis=1)
+        nrm = jnp.sqrt(x0 * x0 + sigma2)
+        beta = jnp.where(x0 >= 0, -nrm, nrm)          # sign avoids cancellation
+        no_op = sigma2 == 0.0
+        denom = jnp.where(no_op, 1.0, x0 - beta)
+        v = x / denom[:, None]
+        v = v.at[:, 0].set(jnp.where(no_op, 0.0, 1.0))
+        tau = jnp.where(no_op, 0.0, (beta - x0) / jnp.where(no_op, 1.0, beta))
+        beta_out = jnp.where(no_op, x0, beta)
+
+        # two-sided update of the strip:  S <- H S, then the (R, R) diagonal
+        # block (local cols [2b-1, 3b-1)) gets the right application too
+        w1 = tau[:, None] * jnp.einsum("wb,wbc->wc", v, S)
+        S = S - v[:, :, None] * w1[:, None, :]
+        D = S[:, :, 2 * b - 1: 3 * b - 1]
+        w2 = tau[:, None] * jnp.einsum("wbc,wc->wb", D, v)
+        D = D - w2[:, :, None] * v[:, None, :]
+        S = S.at[:, :, 2 * b - 1: 3 * b - 1].set(D)
+        # exact-zero bookkeeping (the disjointness proof is structural)
+        colsel = colr[None, None, :] == off[:, None, None]
+        S = jnp.where(colsel & (rowr[None, :, None] >= 1), 0.0, S)
+        S = jnp.where(colsel & (rowr[None, :, None] == 0),
+                      beta_out[:, None, None], S)
+
+        rows_idx = rp[:, None] + rowr[None, :]        # (W, b)
+        cols_idx = rp[:, None] - (2 * b - 1) + colr[None, :]   # (W, W5)
+        # in-wave windows are exactly disjoint; parked slots all write the
+        # same zeros, so duplicate indices are value-identical
+        P = P.at[rows_idx[:, :, None], cols_idx[:, None, :]].set(S)
+        P = P.at[cols_idx[:, :, None], rows_idx[:, None, :]].set(
+            jnp.transpose(S, (0, 2, 1)))
+
+        jsafe = jnp.where(valid, jj, n - 2)
+        ksafe = jnp.where(valid, kk, 0)
+        Vw = Vw.at[jsafe, ksafe].set(jnp.where(valid[:, None], v, 0.0))
+        tw = tw.at[jsafe, ksafe].set(jnp.where(valid, tau, 0.0))
+        return P, Vw, tw
+
+    P, Vw, tw = lax.fori_loop(0, Twaves, wave_body, (P, Vw, tw))
+    d = jnp.diagonal(P)[OFF: OFF + n]
+    e = jnp.diagonal(P, offset=1)[OFF: OFF + n - 1]
+    return d, e, (Vw, tw)
+
+
+def apply_q2_wave(n: int, band: int, vlog, X):
+    """X <- Q2 @ X through the wavefront reflector log of
+    :func:`band_to_tridiag_wave`.
+
+    Within a sweep the hops' row ranges [j+kb+1, j+(k+1)b] are disjoint, so a
+    whole sweep applies as ONE batched rank-1 block update; sweeps apply in
+    descending j (sweep-major order is a valid linearization of the task
+    dependence order, hence yields the same Q2 product as wave order).
+    Theta(n) dispatches.
+    """
+    b = int(band)
+    Vw, tw = vlog
+    if n < 4 or b < 2:
+        return X
+    Kmax, _, _ = _wave_geometry(n, b)
+    C = X.shape[1]
+    Xp = jnp.zeros((n + b, C), X.dtype)
+    Xp = Xp.at[:n].set(X)
+    ks = jnp.arange(Kmax)
+    rowr = jnp.arange(b)
+
+    def body(i, Xp):
+        j = n - 3 - i
+        valid = j + ks * b + 2 <= n - 1
+        rs = jnp.where(valid, j + ks * b + 1, n)      # park at the pad
+        v = Vw[j].astype(X.dtype)                     # (Kmax, b)
+        tau = tw[j].astype(X.dtype)
+        rows_idx = rs[:, None] + rowr[None, :]        # (Kmax, b)
+        G = Xp[rows_idx]                              # (Kmax, b, C)
+        w = tau[:, None] * jnp.einsum("kb,kbc->kc", v, G)
+        Y = G - v[:, :, None] * w[:, None, :]
+        return Xp.at[rows_idx].set(Y)
+
+    Xp = lax.fori_loop(0, n - 2, body, Xp)
+    return Xp[:n]
+
+
 def apply_q2(n: int, band: int, cs, X):
     """X <- Q2 @ X (eigenvector backtransform through the stage-2 rotations).
 

@@ -93,3 +93,46 @@ def test_reduce_to_band_small_noop(rng):
     B, Yt, taus = reduce_to_band(jnp.asarray(A), 8)
     assert np.abs(np.asarray(B) - A).max() == 0.0
     assert np.asarray(taus).max() == 0.0
+
+
+@pytest.mark.parametrize("n,b", [(24, 2), (96, 8), (130, 8), (128, 16),
+                                 (200, 5), (64, 70)])
+def test_wavefront_chase(n, b, rng):
+    """band_to_tridiag_wave: orthogonal similarity, exact reconstruction
+    through apply_q2_wave, eigenvalue preservation (incl. non-divisible n/b
+    and b >= n).  Decomposition oracle: tools/oracle_chase_wave.py."""
+    from symmetric_eigenvalue_tpu.kernels.band_reduce import (
+        apply_q2_wave, band_to_tridiag_wave)
+
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    A[np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) > b] = 0.0
+    d, e, vlog = jax.jit(lambda B: band_to_tridiag_wave(B, b))(jnp.asarray(A))
+    d, e = np.asarray(d), np.asarray(e)
+    T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    w0 = np.linalg.eigvalsh(A)
+    w1 = np.linalg.eigvalsh(T)
+    assert np.abs(w0 - w1).max() < 1e-12 * max(np.abs(w0).max(), 1.0)
+    Q2 = np.asarray(apply_q2_wave(n, b, vlog, jnp.eye(n, dtype=jnp.float64)))
+    assert np.abs(Q2.T @ Q2 - np.eye(n)).max() < 1e-13
+    assert np.abs(Q2.T @ A @ Q2 - T).max() < 1e-12
+
+
+def test_wavefront_vs_sequential_chase(rng):
+    """Wave and sequential chases produce orthogonally-similar tridiagonals
+    of the same matrix (eigenvalues equal; entries may differ in sign)."""
+    from symmetric_eigenvalue_tpu.kernels.band_reduce import (
+        band_to_tridiag, band_to_tridiag_wave)
+
+    n, b = 72, 6
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    A[np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) > b] = 0.0
+    dw, ew, _ = band_to_tridiag_wave(jnp.asarray(A), b)
+    ds, es, _ = band_to_tridiag(jnp.asarray(A), b)
+    Tw = np.diag(np.asarray(dw)) + np.diag(np.asarray(ew), 1) \
+        + np.diag(np.asarray(ew), -1)
+    Ts = np.diag(np.asarray(ds)) + np.diag(np.asarray(es), 1) \
+        + np.diag(np.asarray(es), -1)
+    assert np.abs(np.linalg.eigvalsh(Tw) - np.linalg.eigvalsh(Ts)).max() \
+        < 1e-12
