@@ -638,7 +638,7 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
     @jax.jit
     def fn(A):
         if band > 0:
-            from .kernels.band_reduce import (apply_q2_wave,
+            from .kernels.band_reduce import (apply_q2_wave_blocked,
                                               band_to_tridiag_wave,
                                               reduce_to_band)
             B, Yt, taus = reduce_to_band(A, band)
@@ -651,7 +651,7 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
         if eigvals_only:
             return lam, None
         if band > 0:
-            W = apply_q2_wave(n, band, vlog, W)
+            W = apply_q2_wave_blocked(n, band, vlog, W)
             X = apply_q(Yt, taus, W, panel=band)
         else:
             X = apply_q(Yt, taus, W, panel=panel)
@@ -733,7 +733,8 @@ def _compiled_eigh_banded(n: int, u: int, config: SolverConfig,
     """Cached jit for the banded path: band(u) -> tridiagonal by wavefront
     bulge chasing (kernels/band_reduce.py) + Cuppen D&C + reflector
     backtransform."""
-    from .kernels.band_reduce import apply_q2_wave, band_to_tridiag_wave
+    from .kernels.band_reduce import (apply_q2_wave_blocked,
+                                      band_to_tridiag_wave)
 
     plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
@@ -748,7 +749,7 @@ def _compiled_eigh_banded(n: int, u: int, config: SolverConfig,
                         want_vectors=not eigvals_only, mesh=mesh)
         if eigvals_only:
             return lam * s, None
-        return lam * s, apply_q2_wave(n, u, vlog, W)
+        return lam * s, apply_q2_wave_blocked(n, u, vlog, W)
 
     return fn
 

@@ -320,6 +320,81 @@ def apply_q2_wave(n: int, band: int, vlog, X):
     return Xp[:n]
 
 
+def apply_q2_wave_blocked(n: int, band: int, vlog, X):
+    """X <- Q2 @ X at GEMM rate: compact-WY blocks over the wavefront log.
+
+    :func:`apply_q2_wave` applies rank-1 reflectors one sweep per dispatch —
+    bandwidth-bound (4 flops per 8 loaded bytes; ~n^3/2 * 8 B of traffic).
+    Here g = b consecutive sweeps' SAME-HOP reflectors — which live in a
+    (2b-1)-row window, shifted one row per sweep — form one compact-WY block
+    B(J, k) = I - Y T Y^T (Y: (2b-1, b), T upper triangular via the LAPACK
+    identity T^{-1} = diag(1/tau) + striu(Y^T Y)), giving b/4 flops per byte.
+
+    Valid reordering (PLAN_SBR2.md): blocks commute unless |window offset| <
+    2b-1; ordering Q2 = prod_{J asc} prod_{k desc} B(J, k) only swaps
+    disjoint-window factors of the sweep-major product.  Application is the
+    reverse — J desc, k asc — scheduled as a wavefront wave(J, k) =
+    k + 2*(nJ-1-J): concurrent blocks sit exactly 3b rows apart (disjoint),
+    and every conflicting pair (same J adjacent k; J+1 blocks with k' <= k+1)
+    lands on earlier waves.  Theta(n/b) dispatches total.
+    """
+    b = int(band)
+    Vw, tw = vlog
+    if n < 4 or b < 2:
+        return X
+    Kmax, _, _ = _wave_geometry(n, b)
+    g = b
+    h = b + g - 1
+    nJ = -(-(n - 2) // g)                 # ceil: sweeps 0..n-3 in chunks of g
+    C = X.shape[1]
+    Smax = min(nJ, Kmax // 2 + 1)         # concurrent blocks per wave
+    Twaves = Kmax + 2 * nJ - 2
+
+    Xp = jnp.zeros((n + 2 * h, C), X.dtype)
+    Xp = Xp.at[:n].set(X)
+    slots = jnp.arange(Smax)
+    gr = jnp.arange(g)
+    hr = jnp.arange(h)
+    place_cols = gr[:, None] + jnp.arange(b)[None, :]      # (g, b)
+    eye_g = jnp.eye(g, dtype=X.dtype)
+    striu_mask = (gr[:, None] < gr[None, :]).astype(X.dtype)
+
+    def body(w, Xp):
+        # the active slot window slides: at wave w the admissible s satisfy
+        # ceil((w - Kmax + 1)/2) <= s <= w // 2  (so that 0 <= k <= Kmax-1)
+        s0 = jnp.maximum(0, (w - Kmax + 2) // 2)
+        s = s0 + slots
+        J = nJ - 1 - s
+        k = w - 2 * s
+        valid = (J >= 0) & (k >= 0) & (k <= Kmax - 1)
+        base = J * g + k * b + 1
+        basep = jnp.where(valid, base, n + h)              # park in the pad
+        jrows = jnp.clip(J[:, None] * g + gr[None, :], 0, n - 2)  # (S, g)
+        ksafe = jnp.where(valid, k, 0)
+        Vblk = Vw[jrows, ksafe[:, None]].astype(X.dtype)   # (S, g, b)
+        tblk = tw[jrows, ksafe[:, None]].astype(X.dtype)   # (S, g)
+
+        Z = jnp.zeros((Smax, g, h), X.dtype)
+        Z = Z.at[:, gr[:, None], place_cols].set(Vblk)
+        Y = jnp.transpose(Z, (0, 2, 1))                    # (S, h, g)
+        Sg = jnp.einsum("shg,shf->sgf", Y, Y)
+        inv_tau = jnp.where(tblk != 0,
+                            1.0 / jnp.where(tblk != 0, tblk, 1.0), 1.0)
+        Tinv = Sg * striu_mask[None] + eye_g[None] * inv_tau[:, :, None]
+        Tm = jax.scipy.linalg.solve_triangular(
+            Tinv, jnp.broadcast_to(eye_g, Tinv.shape), lower=False)
+
+        rows_idx = basep[:, None] + hr[None, :]            # (S, h)
+        G = Xp[rows_idx]                                   # (S, h, C)
+        W1 = jnp.einsum("shg,shc->sgc", Y, G)
+        W2 = jnp.einsum("sgf,sfc->sgc", Tm, W1)
+        G = G - jnp.einsum("shg,sgc->shc", Y, W2)
+        return Xp.at[rows_idx].set(G)
+
+    Xp = lax.fori_loop(0, Twaves, body, Xp)
+    return Xp[:n]
+
+
 def apply_q2(n: int, band: int, cs, X):
     """X <- Q2 @ X (eigenvector backtransform through the stage-2 rotations).
 

@@ -136,3 +136,20 @@ def test_wavefront_vs_sequential_chase(rng):
         + np.diag(np.asarray(es), -1)
     assert np.abs(np.linalg.eigvalsh(Tw) - np.linalg.eigvalsh(Ts)).max() \
         < 1e-12
+
+
+def test_blocked_apply_matches_per_sweep(rng):
+    """apply_q2_wave_blocked (compact-WY wavefront, GEMM rate) must equal the
+    per-sweep rank-1 reference application to roundoff."""
+    from symmetric_eigenvalue_tpu.kernels.band_reduce import (
+        apply_q2_wave, apply_q2_wave_blocked, band_to_tridiag_wave)
+
+    n, b = 130, 8
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    A[np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) > b] = 0.0
+    _, _, vlog = band_to_tridiag_wave(jnp.asarray(A), b)
+    X = rng.standard_normal((n, 7))
+    Ya = np.asarray(apply_q2_wave(n, b, vlog, jnp.asarray(X)))
+    Yb = np.asarray(apply_q2_wave_blocked(n, b, vlog, jnp.asarray(X)))
+    assert np.abs(Ya - Yb).max() < 1e-13
