@@ -705,10 +705,20 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
 
     # Above the single-jit limit, run the dense pipeline in stages (mirrors
     # solve_tridiagonal's auto-route): jit front-end -> staged tridiagonal
-    # solve -> jit compact-WY backtransform, donating the big buffers
+    # solve -> jit backtransform stage(s), donating the big buffers
     # between stages so peak HBM stays bounded at the headline sizes.
-    if (not eigvals_only) and band == 0 \
-            and n > config.resolved_single_jit_max_n():
+    if (not eigvals_only) and n > config.resolved_single_jit_max_n():
+        if band > 0:
+            d, e, Yt, tau, vlog = _compiled_band_frontend(
+                n, str(A.dtype), int(band))(A)
+            res, _ = solve_tridiagonal_staged(
+                d, e, config=config, compute_vectors=True, mesh=mesh)
+            W = _compiled_apply_q2w(
+                n, int(band), int(res.eigenvectors.shape[1]),
+                str(A.dtype))(vlog, res.eigenvectors)
+            X = _compiled_apply_q(n, int(W.shape[1]), str(A.dtype),
+                                  int(band))(Yt, tau, W)
+            return res.eigenvalues, X
         d, e, Vt, tau = _compiled_tridiagonalize(
             n, str(A.dtype), panel)(A)
         res, _ = solve_tridiagonal_staged(
@@ -725,6 +735,32 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
     if eigvals_only:
         return lam
     return lam, X
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_band_frontend(n: int, dtype_name: str, band: int):
+    """Staged two-stage SBR front-end: dense -> band -> tridiagonal, one jit.
+
+    Donates A (dead after stage 1); returns (d, e, Yt, taus, vlog) for the
+    staged solve + apply_q2_wave_blocked + apply_q backtransform chain."""
+    from .kernels.band_reduce import band_to_tridiag_wave, reduce_to_band
+
+    def fn(A):
+        B, Yt, taus = reduce_to_band(A, band)
+        d, e, vlog = band_to_tridiag_wave(B, band)
+        return d, e, Yt, taus, vlog
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_apply_q2w(n: int, band: int, ncols: int, dtype_name: str):
+    from .kernels.band_reduce import apply_q2_wave_blocked
+
+    def fn(vlog, X):
+        return apply_q2_wave_blocked(n, band, vlog, X)
+
+    return jax.jit(fn, donate_argnums=(1,))
 
 
 @functools.lru_cache(maxsize=16)

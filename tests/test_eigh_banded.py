@@ -76,3 +76,19 @@ def test_input_validation():
         eigh_banded(np.zeros((3,)))
     with pytest.raises(ValueError):
         eigh_banded(np.zeros((2, 0)))
+
+
+def test_dense_two_stage_staged_route(rng):
+    """eigh(band=) above the single-jit limit: staged front-end jit +
+    staged tridiagonal solve + blocked Q2/Q1 backtransform stages."""
+    from symmetric_eigenvalue_tpu import SolverConfig, eigh
+
+    n = 160
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / (2 * np.sqrt(n))
+    cfg = SolverConfig(single_jit_max_n=64)       # force the staged route
+    lam, V = eigh(A, config=cfg, band=16)
+    lam, V = np.asarray(lam), np.asarray(V)
+    assert np.abs(A @ V - V * lam[None, :]).max() < 1e-12
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-11
+    assert np.abs(lam - np.linalg.eigvalsh(A)).max() < 1e-12

@@ -10,6 +10,8 @@ completeness evidence.
 
 Usage: PYTHONPATH=.:/root/.axon_site python tools/run_dense_eigh.py [n] [reps]
 Env:   DENSE_EIGVALS_ONLY=1  DENSE_BASELINE=1 (host numpy eigh; slow)
+       DENSE_BAND=128  (two-stage SBR front-end: dense -> band -> tridiag
+       by wavefront chasing + compact-WY Q2; 0 = one-stage Householder)
 """
 
 import json
@@ -21,6 +23,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 EIGVALS_ONLY = os.environ.get("DENSE_EIGVALS_ONLY", "0") == "1"
 HOST_BASELINE = os.environ.get("DENSE_BASELINE", "0") == "1"
+BAND = int(os.environ.get("DENSE_BAND", "0"))
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -46,6 +49,7 @@ def dense_residual(A, lam, V, col_chunk=2048):
     ~90 s at n=16384 and the f32-HIGHEST expansion OOMs; see utils/checks).
     """
     n = A.shape[0]
+    col_chunk = min(col_chunk, n)
     use_dword = jax.default_backend() == "tpu"
 
     def chunk_err(A, V, lam, c0):
@@ -86,7 +90,7 @@ def main():
     times = []
     for r in range(max(REPS, 1)):
         t0 = time.perf_counter()
-        out = eigh(Adev, config=cfg, eigvals_only=EIGVALS_ONLY)
+        out = eigh(Adev, config=cfg, eigvals_only=EIGVALS_ONLY, band=BAND)
         lam = out if EIGVALS_ONLY else out[0]
         V = None if EIGVALS_ONLY else out[1]
         jax.block_until_ready(lam)
@@ -98,12 +102,14 @@ def main():
         print(f"  run {r}: {times[-1]:.1f}s", flush=True)
 
     result = {
-        "metric": ("wallclock_dense_eigvals_n%d" % N if EIGVALS_ONLY
-                   else "wallclock_dense_eigenpairs_n%d" % N),
+        "metric": (("wallclock_dense_eigvals_n%d" % N if EIGVALS_ONLY
+                    else "wallclock_dense_eigenpairs_n%d" % N)
+                   + ("_band%d" % BAND if BAND else "")),
         "value": round(min(times), 2),
         "unit": "s",
         "first_run_s": round(times[0], 2),
         "backend": jax.default_backend(),
+        "band": BAND,
         "norm_a": norm_a,
     }
 

@@ -36,6 +36,8 @@ run_job() {
 }
 
 JOB_TIMEOUT=1800 run_job clustered4096 env BENCH_N=4096 BENCH_MATRIX=clustered BENCH_REPS=3 python bench.py
+JOB_TIMEOUT=2400 run_job dense4096band env DENSE_BAND=128 python tools/run_dense_eigh.py 4096 2
+JOB_TIMEOUT=4800 run_job dense16384band env DENSE_BAND=128 python tools/run_dense_eigh.py 16384 1
 JOB_TIMEOUT=2400 run_job poisson16384 env BENCH_N=16384 BENCH_MATRIX=poisson BENCH_REPS=2 python bench.py
 JOB_TIMEOUT=2400 run_job headline16384 env BENCH_N=16384 BENCH_REPS=3 python bench.py
 log "queue complete"
