@@ -641,7 +641,7 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
             from .kernels.band_reduce import (apply_q2_wave_blocked,
                                               band_to_tridiag_wave,
                                               reduce_to_band)
-            B, Yt, taus = reduce_to_band(A, band)
+            B, Yt, taus = reduce_to_band(A, band, buckets=4 if n >= 8192 else 1)
             d, e, vlog = band_to_tridiag_wave(B, band)
         else:
             d, e, Yt, taus = tridiagonalize(A, panel=panel,
@@ -746,7 +746,7 @@ def _compiled_band_frontend(n: int, dtype_name: str, band: int):
     from .kernels.band_reduce import band_to_tridiag_wave, reduce_to_band
 
     def fn(A):
-        B, Yt, taus = reduce_to_band(A, band)
+        B, Yt, taus = reduce_to_band(A, band, buckets=4 if n >= 8192 else 1)
         d, e, vlog = band_to_tridiag_wave(B, band)
         return d, e, Yt, taus, vlog
 

@@ -38,43 +38,37 @@ from jax import lax
 from .tridiagonalize import _householder, _larft, _mm, _use_dword_matvec
 
 
-def reduce_to_band(A, band: int = 128):
-    """A (n, n) symmetric -> (B (n, n) banded, Yt (n, n), taus (n,)).
+def _reduce_block(As, ncols: int, b: int, use_dword: bool):
+    """Blocked band reduction of the FIRST ``ncols`` columns (whole panels of
+    ``b``) of the trailing symmetric submatrix ``As`` (m, m), local coords.
 
-    B = Q1^T A Q1 with bandwidth ``band`` (entries |i-j| > band are ~0);
-    Q1 = H_0 H_1 ... where H_c = I - tau_c y_c y_c^T, y_c = Yt[c, :]
-    (zero at entries < c + band, unit at c + band).
+    Returns (As_updated, Ytb (ncols, m), taus (ncols,)); reflector for local
+    column c has zeros at entries < c + b and unit at c + b.
     """
-    n = A.shape[0]
-    dtype = A.dtype
-    b = int(band)
-    if n <= b + 1:
-        # already "banded"; no reflectors needed
-        return A, jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype)
-    use_dword = _use_dword_matvec(n, dtype)
+    m = As.shape[0]
+    dtype = As.dtype
+    num_panels = ncols // b
 
-    num_panels = max((n - 2) // b, 0)   # last <=b+1 columns are inside band
-
-    Yt = jnp.zeros((n, n), dtype)
-    taus = jnp.zeros((n,), dtype)
+    Ytb = jnp.zeros((max(ncols, 1), m), dtype)
+    taus = jnp.zeros((max(ncols, 1),), dtype)
 
     def panel_body(k, carry):
-        A, Yt, taus = carry
+        As, Ytb, taus = carry
         o = k * b
 
-        # --- panel QR: Householder columns of A[o+b:, o:o+b] ------------
-        # Pt[j] = (current) column o+j of A, reflectors applied immediately
+        # --- panel QR: Householder columns of As[o+b:, o:o+b] -----------
+        # Pt[j] = (current) column o+j of As, reflectors applied immediately
         # to the remaining panel columns (one-sided).
-        Pt = lax.dynamic_slice(A.T, (o, 0), (b, n))   # rows: panel columns
-        Yp = jnp.zeros((b, n), dtype)
+        Pt = lax.dynamic_slice(As.T, (o, 0), (b, m))  # rows: panel columns
+        Yp = jnp.zeros((b, m), dtype)
         tp = jnp.zeros((b,), dtype)
 
         def col_body(j, inner):
             Pt, Yp, tp = inner
             x = Pt[j]
             # unit position u = o + b + j  ->  _householder pivot index u
-            v, tau, _ = _householder(x, o + b + j - 1, n)
-            live = o + b + j < n
+            v, tau, _ = _householder(x, o + b + j - 1, m)
+            live = o + b + j < m
             v = jnp.where(live, v, jnp.zeros_like(v))
             tau = jnp.where(live, tau, 0.0)
             # apply (I - tau v v^T) to the remaining panel columns
@@ -86,24 +80,88 @@ def reduce_to_band(A, band: int = 128):
 
         _, Yp, tp = lax.fori_loop(0, b, col_body, (Pt, Yp, tp))
 
-        # --- two-sided block update  A <- (I - Y T Y^T)^T A (I - Y T Y^T)
+        # --- two-sided block update  As <- (I - Y T Y^T)^T As (I - Y T Y^T)
         T = _larft(Yp, tp, use_dword)                    # (b, b) upper
-        P_ = _mm(A, Yp.T, use_dword)                     # (n, b) = A Y
-        # Y^T A Y: n-length contraction — XLA's emulated-f64 matrix-matrix
+        P_ = _mm(As, Yp.T, use_dword)                    # (m, b) = As Y
+        # Y^T As Y: m-length contraction — XLA's emulated-f64 matrix-matrix
         # dot is only ~1e-6-grade at these lengths on TPU (CLAUDE.md), so
         # this must ride the double-word kernel too
-        S = _mm(Yp, P_, use_dword, tm=32, tn=32)         # (b, b) = Y^T A Y
-        W = P_ @ T - (0.5 * (Yp.T @ (T.T @ S @ T)).T).T  # (n, b)
-        # A -= Y W^T + W Y^T  as one fused (n, 2b) x (2b, n) GEMM
-        A = A - _mm(jnp.concatenate([Yp.T, W], axis=1),
-                    jnp.concatenate([W, Yp.T], axis=1).T, use_dword)
+        S = _mm(Yp, P_, use_dword, tm=32, tn=32)         # (b, b) = Y^T As Y
+        W = P_ @ T - (0.5 * (Yp.T @ (T.T @ S @ T)).T).T  # (m, b)
+        # As -= Y W^T + W Y^T  as one fused (m, 2b) x (2b, m) GEMM
+        As = As - _mm(jnp.concatenate([Yp.T, W], axis=1),
+                      jnp.concatenate([W, Yp.T], axis=1).T, use_dword)
 
-        Yt = lax.dynamic_update_slice(Yt, Yp, (o, 0))
+        Ytb = lax.dynamic_update_slice(Ytb, Yp, (o, 0))
         taus = lax.dynamic_update_slice(taus, tp, (o,))
-        return A, Yt, taus
+        return As, Ytb, taus
 
-    A, Yt, taus = lax.fori_loop(0, num_panels, panel_body, (A, Yt, taus))
-    return A, Yt, taus
+    As, Ytb, taus = lax.fori_loop(0, num_panels, panel_body,
+                                  (As, Ytb, taus))
+    return As, Ytb[:ncols], taus[:ncols]
+
+
+def reduce_to_band(A, band: int = 128, buckets: int = 1):
+    """A (n, n) symmetric -> (B (n, n) banded, Yt (n, n), taus (n,)).
+
+    B = Q1^T A Q1 with bandwidth ``band`` (entries |i-j| > band are ~0);
+    Q1 = H_0 H_1 ... where H_c = I - tau_c y_c y_c^T, y_c = Yt[c, :]
+    (zero at entries < c + band, unit at c + band).
+
+    ``buckets``: split the panel range into chunks, each processed on a
+    STATICALLY shrunk trailing submatrix (same scheme as
+    ``tridiagonalize(buckets=)``): reflector support lives entirely in the
+    trailing block, so rows above it are exactly frozen, and the per-panel
+    GEMMs stream only the trailing block — total traffic drops from ~3x
+    toward the n^3-GEMM optimum.  buckets=1 reproduces the single-pass
+    behavior.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    b = int(band)
+    if n <= b + 1:
+        # already "banded"; no reflectors needed
+        return A, jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype)
+    use_dword = _use_dword_matvec(n, dtype)
+
+    num_panels = max((n - 2) // b, 0)   # last <=b+1 columns are inside band
+    buckets = max(1, min(int(buckets), num_panels))
+    per = -(-num_panels // buckets)     # ceil: panels per bucket
+    cuts = [0]
+    while cuts[-1] + per * b < num_panels * b:
+        cuts.append(cuts[-1] + per * b)
+    cuts.append(num_panels * b)
+
+    B = jnp.zeros((n, n), dtype)
+    Yt = jnp.zeros((n, n), dtype)
+    taus = jnp.zeros((n,), dtype)
+
+    As = A
+    for c0, c1 in zip(cuts[:-1], cuts[1:]):
+        m = n - c0
+        mp = m
+        if use_dword:
+            # pad so the double-word kernels tile evenly; reflectors are
+            # zero in pad entries so the first m rows/cols are unchanged
+            pad = (-m) % 512
+            if pad:
+                As = jnp.pad(As, ((0, pad), (0, pad)))
+                mp = m + pad
+        ncols = c1 - c0
+        As, Ytb, tb = _reduce_block(As, ncols, b, use_dword)
+        As = As[:m, :m] if mp != m else As
+        B = lax.dynamic_update_slice(B, As[:ncols, :], (c0, c0))
+        Yt = lax.dynamic_update_slice(Yt, Ytb, (c0, c0))
+        taus = lax.dynamic_update_slice(taus, tb, (c0,))
+        As = As[ncols:, ncols:]           # static shrink to next bucket
+
+    B = lax.dynamic_update_slice(B, As, (cuts[-1], cuts[-1]))
+    # strips write rows [c0, c1) x cols [c0, n): upper-complete, but lower
+    # band entries whose column lies in an EARLIER bucket are only present
+    # as their (exactly equal — the update preserves symmetry) upper
+    # mirrors; rebuild the lower triangle from the upper
+    B = jnp.triu(B) + jnp.triu(B, 1).T
+    return B, Yt, taus
 
 
 def _chase_schedule(n: int, b: int):

@@ -153,3 +153,19 @@ def test_blocked_apply_matches_per_sweep(rng):
     Ya = np.asarray(apply_q2_wave(n, b, vlog, jnp.asarray(X)))
     Yb = np.asarray(apply_q2_wave_blocked(n, b, vlog, jnp.asarray(X)))
     assert np.abs(Ya - Yb).max() < 1e-13
+
+
+def test_reduce_to_band_bucketed_matches(rng):
+    """Bucketed trailing-submatrix reduction (statically shrunk per bucket)
+    must match the single-pass result to roundoff, incl. the symmetrized
+    bucket-boundary lower band."""
+    n, b = 130, 16
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    B1, Y1, t1 = reduce_to_band(jnp.asarray(A), b, buckets=1)
+    B4, Y4, t4 = reduce_to_band(jnp.asarray(A), b, buckets=4)
+    assert np.abs(np.asarray(B1) - np.asarray(B4)).max() < 1e-12
+    assert np.abs(np.asarray(Y1) - np.asarray(Y4)).max() < 1e-12
+    assert np.abs(np.asarray(t1) - np.asarray(t4)).max() < 1e-14
+    B4 = np.asarray(B4)
+    assert np.abs(B4 - B4.T).max() == 0.0
