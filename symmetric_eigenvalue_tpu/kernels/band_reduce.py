@@ -263,7 +263,7 @@ def band_to_tridiag_wave(B, band: int):
     b = int(band)
     dtype = B.dtype
     Kmax, Wmax, Twaves = _wave_geometry(n, b)
-    if n < 4 or b < 2:
+    if n < 3 or b < 2:
         Vw = jnp.zeros((max(n - 1, 1), Kmax, max(b, 1)), dtype)
         tw = jnp.zeros((max(n - 1, 1), Kmax), dtype)
         return jnp.diagonal(B), jnp.diagonal(B, offset=1), (Vw, tw)
@@ -353,7 +353,7 @@ def apply_q2_wave(n: int, band: int, vlog, X):
     """
     b = int(band)
     Vw, tw = vlog
-    if n < 4 or b < 2:
+    if n < 3 or b < 2:
         return X
     Kmax, _, _ = _wave_geometry(n, b)
     C = X.shape[1]
@@ -398,7 +398,7 @@ def apply_q2_wave_blocked(n: int, band: int, vlog, X):
     """
     b = int(band)
     Vw, tw = vlog
-    if n < 4 or b < 2:
+    if n < 3 or b < 2:
         return X
     Kmax, _, _ = _wave_geometry(n, b)
     g = b

@@ -92,3 +92,16 @@ def test_dense_two_stage_staged_route(rng):
     assert np.abs(A @ V - V * lam[None, :]).max() < 1e-12
     assert np.abs(V.T @ V - np.eye(n)).max() < 1e-11
     assert np.abs(lam - np.linalg.eigvalsh(A)).max() < 1e-12
+
+
+def test_tiny_n3_full_bandwidth(rng):
+    """n=3, u=2: the (2,0) entry must actually be eliminated (regression —
+    the wave chase's small-n guard once skipped the n=3 single task)."""
+    A = np.array([[2., 1., 5.], [1., 3., 1.], [5., 1., 4.]])
+    ab = np.zeros((3, 3))
+    for k in range(3):
+        ab[2 - k, k:] = np.diagonal(A, k)
+    lam, V = eigh_banded(ab)
+    lam, V = np.asarray(lam), np.asarray(V)
+    assert np.abs(lam - np.linalg.eigvalsh(A)).max() < 1e-13
+    assert np.abs(A @ V - V * lam[None, :]).max() < 1e-13
