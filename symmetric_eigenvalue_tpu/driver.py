@@ -641,8 +641,11 @@ def _compiled_eigh(n: int, config: SolverConfig, eigvals_only: bool,
             from .kernels.band_reduce import (apply_q2_wave_blocked,
                                               band_to_tridiag_wave,
                                               reduce_to_band)
-            B, Yt, taus = reduce_to_band(A, band, buckets=4 if n >= 8192 else 1)
-            d, e, vlog = band_to_tridiag_wave(B, band)
+            B, Yt, taus = reduce_to_band(A, band,
+                                         buckets=4 if n >= 8192 else 1,
+                                         want_reflectors=not eigvals_only)
+            d, e, vlog = band_to_tridiag_wave(B, band,
+                                              want_log=not eigvals_only)
         else:
             d, e, Yt, taus = tridiagonalize(A, panel=panel,
                                             buckets=4 if n >= 8192 else 1)

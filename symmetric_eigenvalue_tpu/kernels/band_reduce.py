@@ -38,7 +38,8 @@ from jax import lax
 from .tridiagonalize import _householder, _larft, _mm, _use_dword_matvec
 
 
-def _reduce_block(As, ncols: int, b: int, use_dword: bool):
+def _reduce_block(As, ncols: int, b: int, use_dword: bool,
+                  want_reflectors: bool = True):
     """Blocked band reduction of the FIRST ``ncols`` columns (whole panels of
     ``b``) of the trailing symmetric submatrix ``As`` (m, m), local coords.
 
@@ -49,7 +50,8 @@ def _reduce_block(As, ncols: int, b: int, use_dword: bool):
     dtype = As.dtype
     num_panels = ncols // b
 
-    Ytb = jnp.zeros((max(ncols, 1), m), dtype)
+    nlog = max(ncols, 1) if want_reflectors else 1
+    Ytb = jnp.zeros((nlog, m), dtype)
     taus = jnp.zeros((max(ncols, 1),), dtype)
 
     def panel_body(k, carry):
@@ -92,16 +94,18 @@ def _reduce_block(As, ncols: int, b: int, use_dword: bool):
         As = As - _mm(jnp.concatenate([Yp.T, W], axis=1),
                       jnp.concatenate([W, Yp.T], axis=1).T, use_dword)
 
-        Ytb = lax.dynamic_update_slice(Ytb, Yp, (o, 0))
+        if want_reflectors:
+            Ytb = lax.dynamic_update_slice(Ytb, Yp, (o, 0))
         taus = lax.dynamic_update_slice(taus, tp, (o,))
         return As, Ytb, taus
 
     As, Ytb, taus = lax.fori_loop(0, num_panels, panel_body,
                                   (As, Ytb, taus))
-    return As, Ytb[:ncols], taus[:ncols]
+    return As, Ytb[:ncols] if want_reflectors else Ytb, taus[:ncols]
 
 
-def reduce_to_band(A, band: int = 128, buckets: int = 1):
+def reduce_to_band(A, band: int = 128, buckets: int = 1,
+                   want_reflectors: bool = True):
     """A (n, n) symmetric -> (B (n, n) banded, Yt (n, n), taus (n,)).
 
     B = Q1^T A Q1 with bandwidth ``band`` (entries |i-j| > band are ~0);
@@ -114,14 +118,16 @@ def reduce_to_band(A, band: int = 128, buckets: int = 1):
     trailing block, so rows above it are exactly frozen, and the per-panel
     GEMMs stream only the trailing block — total traffic drops from ~3x
     toward the n^3-GEMM optimum.  buckets=1 reproduces the single-pass
-    behavior.
+    behavior.  ``want_reflectors=False`` skips materializing Yt (the
+    n^2 reflector store) for eigenvalues-only callers.
     """
     n = A.shape[0]
     dtype = A.dtype
     b = int(band)
     if n <= b + 1:
         # already "banded"; no reflectors needed
-        return A, jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype)
+        return (A, jnp.zeros((n, n) if want_reflectors else (1, 1), dtype),
+                jnp.zeros((n,), dtype))
     use_dword = _use_dword_matvec(n, dtype)
 
     num_panels = max((n - 2) // b, 0)   # last <=b+1 columns are inside band
@@ -133,7 +139,7 @@ def reduce_to_band(A, band: int = 128, buckets: int = 1):
     cuts.append(num_panels * b)
 
     B = jnp.zeros((n, n), dtype)
-    Yt = jnp.zeros((n, n), dtype)
+    Yt = jnp.zeros((n, n) if want_reflectors else (1, 1), dtype)
     taus = jnp.zeros((n,), dtype)
 
     As = A
@@ -148,10 +154,12 @@ def reduce_to_band(A, band: int = 128, buckets: int = 1):
                 As = jnp.pad(As, ((0, pad), (0, pad)))
                 mp = m + pad
         ncols = c1 - c0
-        As, Ytb, tb = _reduce_block(As, ncols, b, use_dword)
+        As, Ytb, tb = _reduce_block(As, ncols, b, use_dword,
+                                    want_reflectors)
         As = As[:m, :m] if mp != m else As
         B = lax.dynamic_update_slice(B, As[:ncols, :], (c0, c0))
-        Yt = lax.dynamic_update_slice(Yt, Ytb, (c0, c0))
+        if want_reflectors:
+            Yt = lax.dynamic_update_slice(Yt, Ytb, (c0, c0))
         taus = lax.dynamic_update_slice(taus, tb, (c0,))
         As = As[ncols:, ncols:]           # static shrink to next bucket
 
@@ -240,7 +248,7 @@ def _wave_geometry(n: int, b: int):
     return Kmax, Wmax, Twaves
 
 
-def band_to_tridiag_wave(B, band: int):
+def band_to_tridiag_wave(B, band: int, want_log: bool = True):
     """Banded symmetric B (n, n) -> (d, e, (Vw, tw)) by WAVEFRONT bulge
     chasing — the TPU-rate replacement for :func:`band_to_tridiag`'s
     sequential Givens replay (PLAN_SBR2.md; design validated exactly by
@@ -257,7 +265,9 @@ def band_to_tridiag_wave(B, band: int):
 
     Returns ``d (n,)``, ``e (n-1,)`` and the reflector log
     ``Vw (n-1, Kmax, b)`` / ``tw (n-1, Kmax)`` (row n-2 is parking space)
-    consumed by :func:`apply_q2_wave`.
+    consumed by :func:`apply_q2_wave`.  ``want_log=False`` skips the
+    ~n^2 reflector store for eigenvalues-only callers (returns 1-sized
+    placeholders).
     """
     n = B.shape[0]
     b = int(band)
@@ -275,8 +285,9 @@ def band_to_tridiag_wave(B, band: int):
 
     P = jnp.zeros((NP, NP), dtype)
     P = lax.dynamic_update_slice(P, B, (OFF, OFF))
-    Vw = jnp.zeros((n - 1, Kmax, b), dtype)   # row n-2 = parking
-    tw = jnp.zeros((n - 1, Kmax), dtype)
+    nlog = n - 1 if want_log else 1
+    Vw = jnp.zeros((nlog, Kmax, b), dtype)    # row n-2 = parking
+    tw = jnp.zeros((nlog, Kmax), dtype)
 
     rowr = jnp.arange(b)
     colr = jnp.arange(W5)
@@ -329,10 +340,11 @@ def band_to_tridiag_wave(B, band: int):
         P = P.at[cols_idx[:, :, None], rows_idx[:, None, :]].set(
             jnp.transpose(S, (0, 2, 1)))
 
-        jsafe = jnp.where(valid, jj, n - 2)
-        ksafe = jnp.where(valid, kk, 0)
-        Vw = Vw.at[jsafe, ksafe].set(jnp.where(valid[:, None], v, 0.0))
-        tw = tw.at[jsafe, ksafe].set(jnp.where(valid, tau, 0.0))
+        if want_log:
+            jsafe = jnp.where(valid, jj, n - 2)
+            ksafe = jnp.where(valid, kk, 0)
+            Vw = Vw.at[jsafe, ksafe].set(jnp.where(valid[:, None], v, 0.0))
+            tw = tw.at[jsafe, ksafe].set(jnp.where(valid, tau, 0.0))
         return P, Vw, tw
 
     P, Vw, tw = lax.fori_loop(0, Twaves, wave_body, (P, Vw, tw))
