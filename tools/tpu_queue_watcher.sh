@@ -38,12 +38,15 @@ run_job() {
   log "job $name: rc=$?"
 }
 
-JOB_TIMEOUT=1800 run_job backfill65536 python tools/backfill_bench_extra.py 65536 random 0 2
+# ordered by value-per-minute in case the tunnel window is short: hardware
+# kernel validation + the profile that unblocks epilogue tuning first,
+# long backfills and the bisect last
 JOB_TIMEOUT=1200 run_job pallas python tools/check_pallas_on_tpu.py
 JOB_TIMEOUT=2400 run_job profile16384 env SE_PROFILE_BACKTRANSFORM=1 BENCH_N=16384 BENCH_REPS=2 python bench.py
+JOB_TIMEOUT=1800 run_job backfill65536 python tools/backfill_bench_extra.py 65536 random 0 2
 JOB_TIMEOUT=1800 run_job dense4096 python tools/run_dense_eigh.py 4096 2
-JOB_TIMEOUT=3600 run_job dense16384 python tools/run_dense_eigh.py 16384 1
 JOB_TIMEOUT=3600 run_job leafretune python tools/leaf_retune.py 16384 64 128
+JOB_TIMEOUT=3600 run_job dense16384 python tools/run_dense_eigh.py 16384 1
 JOB_TIMEOUT=3600 run_job bench32768 python tools/backfill_bench_extra.py 32768 random 1 2
 JOB_TIMEOUT=7200 run_job jacobibisect python tools/bisect_jacobi_fault.py
 log "queue complete"
