@@ -48,6 +48,36 @@ EXTRA_PATH = os.path.join(_HERE, "BENCH_EXTRA.json")
 _T_START = time.perf_counter()
 
 
+def _acquire_device_lock():
+    """Serialize against the TPU artifact-queue watchers (tools/tpu_queue_*):
+    the tunneled chip is single-tenant, and a driver-invoked bench colliding
+    with a queue job can fail both.  Watchers hold /tmp/tpu_device.lock per
+    job and set SE_DEVICE_LOCK_HELD=1 for their children; here we wait up to
+    BENCH_LOCK_TIMEOUT (default 1200 s) then proceed anyway — the lock is
+    best-effort protection, never a hard gate on the headline artifact."""
+    if os.environ.get("SE_DEVICE_LOCK_HELD") == "1":
+        return None
+    try:
+        import fcntl
+        f = open("/tmp/tpu_device.lock", "w")
+        deadline = time.time() + float(
+            os.environ.get("BENCH_LOCK_TIMEOUT", "1200"))
+        while True:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return f                      # held until process exit
+            except OSError:
+                if time.time() > deadline:
+                    log("bench: device lock busy past timeout; proceeding")
+                    return f
+                time.sleep(5)
+    except Exception:
+        return None
+
+
+_DEVICE_LOCK = _acquire_device_lock()
+
+
 def make_matrix(n, seed, matrix):
     import numpy as np
     rng = np.random.default_rng(seed)

@@ -31,7 +31,9 @@ run_job() {
   name=$1; shift
   [ -f "$STOP" ] && { log "stop file; skipping $name"; return; }
   log "job $name: start"
-  timeout "$JOB_TIMEOUT" "$@" > "/tmp/q2_${name}.log" 2>&1
+  # hold the single-tenant device lock for the job (bench.py waits on it)
+  timeout "$JOB_TIMEOUT" flock /tmp/tpu_device.lock \
+    env SE_DEVICE_LOCK_HELD=1 "$@" > "/tmp/q2_${name}.log" 2>&1
   log "job $name: rc=$?"
 }
 
