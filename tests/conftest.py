@@ -34,11 +34,35 @@ try:
     # entry the other process was writing, 2026-08-18).  Same-machine reuse
     # only (XLA:CPU entries embed host CPU features) — exactly the usage
     # here.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache_tests"))
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_tests")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    # This jaxlib's cache read/write is NOT safe against a concurrent writer
+    # even within one dir (observed twice on 2026-08-18: SIGSEGV inside
+    # get_executable_and_time and put_executable_and_time when two pytest
+    # processes shared the dir).  Serialize both entry points across
+    # processes with an flock so overlapping suite runs are safe.
+    import fcntl as _fcntl
+
+    import jax._src.compilation_cache as _cc
+
+    _lock_path = _cache_dir + ".lock"
+
+    def _interprocess_locked(fn):
+        def wrapper(*a, **k):
+            os.makedirs(_cache_dir, exist_ok=True)
+            with open(_lock_path, "w") as f:
+                _fcntl.flock(f, _fcntl.LOCK_EX)
+                return fn(*a, **k)
+        return wrapper
+
+    _cc.get_executable_and_time = _interprocess_locked(
+        _cc.get_executable_and_time)
+    _cc.put_executable_and_time = _interprocess_locked(
+        _cc.put_executable_and_time)
 except Exception:
     pass
 
