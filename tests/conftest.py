@@ -26,14 +26,18 @@ try:
 except Exception:
     pass
 try:
-    # persistent compile cache: the suite is dominated by XLA:CPU compiles
-    # (~15 min cold).  The suite gets its OWN cache dir (.jax_cache_tests),
-    # NOT the repo-level .jax_cache used by bench/tools/TPU runs: a pytest
-    # run overlapping a bench/dryrun process on this host once hit a
-    # segfault inside compilation_cache.get_executable_and_time (reading an
-    # entry the other process was writing, 2026-08-18).  Same-machine reuse
-    # only (XLA:CPU entries embed host CPU features) — exactly the usage
-    # here.
+    # Persistent compile cache: OPT-IN ONLY (SE_TEST_COMPILE_CACHE=1).  The
+    # suite is dominated by XLA:CPU compiles (~15 min cold) and a warm cache
+    # helps — but this jaxlib's XLA:CPU executable serialize/deserialize is
+    # INTERMITTENTLY FATAL for the large staged-solve executables: three
+    # suite runs on 2026-08-18 died with SIGSEGV inside
+    # backend.deserialize_executable / executable.serialize (with and
+    # without concurrent processes, with and without an interprocess lock).
+    # A randomly-crashing suite is worse than a slow one, so the default is
+    # no persistent cache.  When opted in, the suite uses its own dir
+    # (.jax_cache_tests) and serializes cache access across processes.
+    if os.environ.get("SE_TEST_COMPILE_CACHE") != "1":
+        raise RuntimeError("test compile cache is opt-in")
     _cache_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".jax_cache_tests")
