@@ -14,7 +14,7 @@ log() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 probe() {
   timeout 90 python - <<'EOF' >/dev/null 2>&1
 import jax
-assert jax.devices()[0].platform == "axon"
+assert jax.devices()[0].platform in ("axon", "tpu")
 EOF
 }
 
