@@ -57,6 +57,8 @@ def _acquire_device_lock():
     best-effort protection, never a hard gate on the headline artifact."""
     if os.environ.get("SE_DEVICE_LOCK_HELD") == "1":
         return None
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return None                     # CPU-only run: no device to protect
     try:
         import fcntl
         f = open("/tmp/tpu_device.lock", "w")

@@ -95,6 +95,13 @@ class SolverConfig:
     # residual to the f64 path at n=16384 (3.9e-14*||T||) at 2.1x the speed.
     mixed_precision_vectors: bool = True
     refine_steps: int = 2
+    # use_pallas_refine: route the f64 inverse-iteration passes through the
+    #   Pallas Spike kernels (kernels/pallas/spike_solve.py) on TPU: the XLA
+    #   scans dispatch nb + P sequential fused kernels per column chunk
+    #   (~0.1 ms in-jit floor each — pure latency), the kernel loops cost
+    #   nanoseconds per row, and the residuals come free (||v||/||x||),
+    #   eliminating the explicit residual matvec passes.  No effect off-TPU.
+    use_pallas_refine: bool = True
     # Mixed-precision refinement thresholds (both relative to ||T||):
     #
     # refine_risky_gap_factor: columns whose eigenvalue gap is below
@@ -151,22 +158,23 @@ class SolverConfig:
         return default_unit_roundoff(self.dtype)
 
     def resolved_leaf_size(self, n: Optional[int] = None) -> int:
-        """Auto leaf size: 32 — LAPACK-backed batched eigh on CPU/GPU, batched
-        cyclic Jacobi on TPU (XLA's own eigh is only ~1e-7-residual under TPU's
-        emulated f64; see kernels/leaf.py).  On TPU the leaf count is capped at
-        1024: a 2048-block Jacobi batch at n=65536 reproducibly faults the
-        device (leaf 64 at the same n is fine)."""
+        """Auto leaf size: 32 on CPU/GPU (LAPACK-backed batched eigh), 64 on
+        TPU — the round-robin batched Jacobi makes bigger leaves cheap, and
+        one fewer tree level wins more than the leaf stage costs (measured
+        n=16384: 2.79 s at leaf 64 vs 2.98 at 128 vs ~2.9+ at 32;
+        tools/leaf_retune.py).  On TPU the leaf count is additionally capped
+        at 1024: a 2048-block Jacobi batch at n=65536 reproducibly faults
+        the device (leaf 64 at the same n is fine)."""
         if self.leaf_size is not None:
             return self.leaf_size
-        leaf = 32
-        if n is not None:
-            try:
-                on_tpu = jax.default_backend() == "tpu"
-            except Exception:
-                on_tpu = False
-            if on_tpu:
-                while n // leaf > 1024:
-                    leaf *= 2
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        leaf = 64 if on_tpu else 32
+        if n is not None and on_tpu:
+            while n // leaf > 1024:
+                leaf *= 2
         return leaf
 
     def __hash__(self):
@@ -178,6 +186,7 @@ class SolverConfig:
                      self.refine_block, self.refine_block_alt,
                      self.refine_residual_factor,
                      self.mixed_precision_vectors, self.refine_steps,
+                     self.use_pallas_refine,
                      self.refine_risky_gap_factor, self.cluster_gap_factor,
                      self.ortho_gap_factor, self.single_jit_max_n))
 

@@ -415,21 +415,30 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     C = int(sel.shape[0])
     n = int(d.shape[0])
     chunk = max(1, min(config.vec_chunk, config.refine_chunk))
+    # Pallas Spike path (TPU): the whole pass runs in VMEM kernels with the
+    # dstein residual ||v||/||x|| for free, replacing both the XLA scans'
+    # dispatch latency and the explicit residual matvec passes.
+    use_spike = (config.use_pallas_refine and n >= 512
+                 and jax.default_backend() == "tpu")
 
     def one_pass(lam_c, V_c, nb):
+        """One refinement pass; returns (V, res_estimate or None)."""
+        if use_spike:
+            from .kernels.pallas.spike_solve import spike_refine
+            return spike_refine(d, e, lam_c, V_c, nb=nb, chunk=chunk)
         nc = int(lam_c.shape[0])
         if nc <= chunk:
-            return _compiled_refine(n, nc, config, nb)(d, e, lam_c, V_c)
+            return _compiled_refine(n, nc, config, nb)(d, e, lam_c, V_c), None
         parts = []
         for o in range(0, nc, chunk):
             w = min(chunk, nc - o)
             parts.append(_compiled_refine(n, w, config, nb)(
                 d, e, lam_c[o:o + w], V_c[:, o:o + w]))
-        return jnp.concatenate(parts, axis=1)
+        return jnp.concatenate(parts, axis=1), None
 
     # first inverse-iteration pass over everything
     with subtimer.phase("refine_pass1"):
-        V = one_pass(lam_sel, V, config.refine_block)
+        V, res1_dev = one_pass(lam_sel, V, config.refine_block)
         if prof:
             _sync(V)
 
@@ -457,7 +466,10 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     if config.refine_steps > 1 and C > 1:
         risky = risky_columns(lam_np, norm_t, config)
         with subtimer.phase("residuals1"):
-            res1 = residuals_chunked(lam_sel, V)
+            # the Spike kernel pass measured its own residuals (||v||/||x||,
+            # the dstein quantity) — one host fetch instead of a matvec pass
+            res1 = (np.asarray(res1_dev) if res1_dev is not None
+                    else residuals_chunked(lam_sel, V))
         thr_res = config.refine_residual_factor * config.eps() * \
             max(norm_t, 1e-30)
         risky = risky | (res1 > thr_res)
@@ -485,14 +497,17 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
             with subtimer.phase("refine_extra"):
                 Vr = V[:, idx_j]
                 lam_r = lam_sel[idx_j]
+                res_b_dev = None
                 for _ in range(config.refine_steps - 1):
-                    Vr = one_pass(lam_r, Vr, config.refine_block_alt)
+                    Vr, res_b_dev = one_pass(lam_r, Vr,
+                                             config.refine_block_alt)
                 # keep the BETTER of pre/post-pass per column: a column
                 # resonant with the alternate block size gets *degraded* by
                 # the extra pass (observed: Poisson columns at ~k*(alt_nb+1)
                 # block-eigenvalue spacings), so the pass must never be
                 # allowed to lose ground
-                res_b = residuals_chunked(lam_r, Vr)
+                res_b = (np.asarray(res_b_dev) if res_b_dev is not None
+                         else residuals_chunked(lam_r, Vr))
                 improved = np.zeros(C, dtype=bool)
                 improved[idx] = res_b[: idx.size] < res1[idx]
                 keep = risky & improved

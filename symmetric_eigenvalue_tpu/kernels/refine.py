@@ -252,12 +252,27 @@ def solve_shifted_tridiagonal_blocked(d, e, lam, B, nb: int = 128):
     # interface unknowns y_b = (F_b, L_b) = x at block b's first/last row:
     #   y_b + Lo_b y_{b-1} + Up_b y_{b+1} = u_b(first/last)
     # with Lo_b = [[0, pf], [0, pl]], Up_b = [[qf, 0], [ql, 0]].
-    pf = p[:, 0, :]
-    pl_ = p[:, nb - 1, :]
-    qf = q[:, 0, :]
-    ql = q[:, nb - 1, :]
-    uf = u[:, 0, :]
-    ul = u[:, nb - 1, :]
+    F, L = interface_solve(p[:, 0, :], p[:, nb - 1, :],
+                           q[:, 0, :], q[:, nb - 1, :],
+                           u[:, 0, :], u[:, nb - 1, :])
+
+    # reconstruct interiors: x_b = u_b - p_b L_{b-1} - q_b F_{b+1}
+    L_above = jnp.concatenate([jnp.zeros((1, K), dtype), L[:-1]], axis=0)
+    F_below = jnp.concatenate([F[1:], jnp.zeros((1, K), dtype)], axis=0)
+    x = u - p * L_above[:, None, :] - q * F_below[:, None, :]
+    return x.reshape(npad, K)[:n]
+
+
+def interface_solve(pf, pl_, qf, ql, uf, ul):
+    """The Spike interface system: 2x2 block-tridiagonal solve over blocks.
+
+    Inputs are each block's boundary responses (P, K): p*/q* the scaled unit
+    responses at the first/last row, u* the rhs responses.  Returns
+    (F, L) (P, K) — the solution's value at every block's first/last row.
+    Shared by the XLA solver above and the Pallas Spike kernels
+    (pallas/spike_solve.py)."""
+    dtype = uf.dtype
+    K = uf.shape[1]
     tiny2 = jnp.asarray(2.0 ** -96, dtype)
 
     def inv2(a, b, c, dd):
@@ -301,12 +316,7 @@ def solve_shifted_tridiagonal_blocked(d, e, lam, B, nb: int = 128):
         return F_b, (F_b, L_b)
 
     _, (F, L) = lax.scan(bwd, z0, (G11, G21, H1, H2), reverse=True)
-
-    # reconstruct interiors: x_b = u_b - p_b L_{b-1} - q_b F_{b+1}
-    L_above = jnp.concatenate([jnp.zeros((1, K), dtype), L[:-1]], axis=0)
-    F_below = jnp.concatenate([F[1:], jnp.zeros((1, K), dtype)], axis=0)
-    x = u - p * L_above[:, None, :] - q * F_below[:, None, :]
-    return x.reshape(npad, K)[:n]
+    return F, L
 
 
 def inverse_iteration(d, e, lam, V, steps: int = 1, block: int = 128):
