@@ -63,6 +63,14 @@ _T = 1024               # columns per tile: 8 sublane groups x 128 lanes
 _BIG = 2.0 ** 80        # back-substitution cascade clip (matches refine.py)
 
 
+def _r8(nb: int) -> int:
+    """Per-block band rows, padded so Mosaic's sublane tiling accepts the
+    block: the band BlockSpecs are (rows, 1) and the sublane dim must be a
+    multiple of 8 (the natural nb+1 = 129 is not).  Pad rows are zero and
+    never read (the kernel touches rows 0..nb only)."""
+    return ((nb + 1) + 7) // 8 * 8
+
+
 def _sel(m, a, b):
     """Elementwise pair select: where(m, a, b)."""
     return jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1])
@@ -109,12 +117,19 @@ def _build_kernel(nb: int, boundary: bool):
         tiny = tinyr[0, 0]
         shape = lam[0]
 
-        def scal(h_ref, l_ref, j):
-            return (jnp.full_like(shape, h_ref[j, 0]),
-                    jnp.full_like(shape, l_ref[j, 0]))
+        # Concrete-layout zero: broadcasts of scalars get a REPLICATED
+        # Mosaic layout, and a fori_loop whose carry is initialized
+        # replicated cannot yield the body's concrete-layout vectors
+        # (concrete->replicated relayout is invalid).  Adding czero pins
+        # every broadcast that can reach a loop carry to lam's concrete
+        # layout.  (x*0 is not folded: the kernel jaxpr has no algebraic
+        # simplifier, and lam is a VMEM load, not a constant.)
+        czero = shape * 0.0
 
-        zero = (jnp.zeros_like(shape), jnp.zeros_like(shape))
-        one = (jnp.ones_like(shape), jnp.zeros_like(shape))
+        def scal(h_ref, l_ref, j):
+            return (czero + h_ref[j, 0], czero + l_ref[j, 0])
+
+        zero = (czero, czero)
 
         if not boundary:
             eca = scal(ech, ecl, 0)         # coupler above this block
@@ -140,7 +155,7 @@ def _build_kernel(nb: int, boundary: bool):
                 return r
             tgt = 0 if q == 1 else nb - 1
             ind = jnp.where(j == tgt, 1.0, 0.0).astype(jnp.float32)
-            return (jnp.full_like(shape, ind), jnp.zeros_like(shape))
+            return (czero + ind, czero)
 
         # ---- forward elimination (partial pivoting) ---------------------
         a0 = dw.add(*scal(dh, dl, 0), -lam[0], -lam[1])
@@ -211,7 +226,7 @@ def _build_kernel(nb: int, boundary: bool):
 
         z = (zero,) * nrhs
         first, _, last, mx_acc = jax.lax.fori_loop(
-            0, nb, bwd_body, (z, z, z, jnp.zeros_like(shape)))
+            0, nb, bwd_body, (z, z, z, czero))
 
         if boundary:
             # rows: [uf, ul, s1f, s1l, s2f, s2l] x (hi, lo) interleaved
@@ -226,13 +241,17 @@ def _build_kernel(nb: int, boundary: bool):
 
 
 def _in_specs(nb):
-    sb = pl.BlockSpec((nb + 1, 1), lambda p, c: (p, 0),
-                      memory_space=pltpu.VMEM)
+    # band rows and the pivot floor are SCALARS read one row at a time:
+    # they live in SMEM (a VMEM scalar load broadcast to a vector needs a
+    # concrete->replicated relayout Mosaic refuses; SMEM scalar -> vector
+    # broadcast is native)
+    sb = pl.BlockSpec((_r8(nb), 1), lambda p, c: (p, 0),
+                      memory_space=pltpu.SMEM)
     lamb = pl.BlockSpec((1, 1, 8, 128), lambda p, c: (c, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     vb = pl.BlockSpec((1, nb, 1, 8, 128), lambda p, c: (p, 0, c, 0, 0),
                       memory_space=pltpu.VMEM)
-    tb = pl.BlockSpec((1, 1), lambda p, c: (0, 0), memory_space=pltpu.VMEM)
+    tb = pl.BlockSpec((1, 1), lambda p, c: (0, 0), memory_space=pltpu.SMEM)
     return [sb, sb, sb, sb, lamb, lamb, vb, vb, tb]
 
 
@@ -245,7 +264,7 @@ def _pass_a(dh, dl, eh, el, lamh, laml, vh, vl, tiny, nb: int,
             interpret: bool = False):
     """Boundary pass: bnd (12, P, K) f32 — [uf, ul, s1f, s1l, s2f, s2l]
     as (hi, lo) interleaved rows."""
-    P = dh.shape[0] // (nb + 1)
+    P = dh.shape[0] // _r8(nb)
     nT = lamh.shape[0]
     with jax.enable_x64(False):
         bnd = pl.pallas_call(
@@ -266,11 +285,11 @@ def _pass_a(dh, dl, eh, el, lamh, laml, vh, vl, tiny, nb: int,
 def _pass_b(dh, dl, eh, el, lamh, laml, vh, vl, tiny,
             Lh, Ll, Fh, Fl, ech, ecl, nb: int, interpret: bool = False):
     """Full solve with folded couplings: (Xh, Xl (n, K), mx (P, K))."""
-    P = dh.shape[0] // (nb + 1)
+    P = dh.shape[0] // _r8(nb)
     nT = lamh.shape[0]
     pkb = pl.BlockSpec((1, 1, 8, 128), lambda p, c: (p, c, 0, 0),
                        memory_space=pltpu.VMEM)
-    ecb = pl.BlockSpec((2, 1), lambda p, c: (p, 0), memory_space=pltpu.VMEM)
+    ecb = pl.BlockSpec((8, 1), lambda p, c: (p, 0), memory_space=pltpu.SMEM)
     xb = pl.BlockSpec((1, nb, 1, 8, 128), lambda p, c: (p, 0, c, 0, 0),
                       memory_space=pltpu.VMEM)
     with jax.enable_x64(False):
@@ -317,15 +336,18 @@ def _band_prep(d, e, nb: int):
     # per-block bands padded with a trailing zero row: the kernel reads row
     # j+1 for both d and e, and the in-block superdiagonal after the last
     # row must be zero (block decoupling)
+    r8 = _r8(nb)
     ebx = jnp.concatenate([e_all[:, : nb - 1],
-                           jnp.zeros((P, 2), dtype)], axis=1)   # (P, nb+1)
-    dbx = jnp.concatenate([db, jnp.zeros((P, 1), dtype)], axis=1)
+                           jnp.zeros((P, r8 - (nb - 1)), dtype)], axis=1)
+    dbx = jnp.concatenate([db, jnp.zeros((P, r8 - nb), dtype)], axis=1)
     e_cross = e_all[:, nb - 1]
     ec_above = jnp.concatenate([jnp.zeros((1,), dtype), e_cross[:-1]])
-    dh, dl = dw.from_f64(dbx.reshape(P * (nb + 1), 1))
-    eh, el = dw.from_f64(ebx.reshape(P * (nb + 1), 1))
-    ecp = jnp.stack([ec_above, e_cross], axis=1)                # (P, 2)
-    ech, ecl = dw.from_f64(ecp.reshape(P * 2, 1))
+    dh, dl = dw.from_f64(dbx.reshape(P * r8, 1))
+    eh, el = dw.from_f64(ebx.reshape(P * r8, 1))
+    # couplers padded to 8 sublane rows per block for the same tiling rule
+    ecp = jnp.concatenate([ec_above[:, None], e_cross[:, None],
+                           jnp.zeros((P, 6), dtype)], axis=1)   # (P, 8)
+    ech, ecl = dw.from_f64(ecp.reshape(P * 8, 1))
     return dh, dl, eh, el, ech, ecl, e_cross, ec_above, tiny
 
 
@@ -346,7 +368,7 @@ def _pad_cols(lam, B, npad):
 def _chunk_a(dh, dl, eh, el, ech, ecl, tiny, lam, B, nb: int,
              interpret: bool = False):
     """Chunk boundary pass: lam (Kc,), B (npad, Kc) -> bnd (12, P, Kc) f64."""
-    P = dh.shape[0] // (nb + 1)
+    P = dh.shape[0] // _r8(nb)
     nT = lam.shape[0] // _T
     lamh, laml = dw.from_f64(lam.astype(jnp.float64).reshape(nT, 1, 8, 128))
     vh, vl = dw.from_f64(
@@ -380,7 +402,7 @@ def _chunk_b(dh, dl, eh, el, ech, ecl, tiny, lam, B, L_above, F_below,
              nb: int, interpret: bool = False, normalize: bool = True):
     """Chunk full solve: returns (X (npad, Kc) f64 [normalized], res (Kc,))."""
     dtype = jnp.float64
-    P = dh.shape[0] // (nb + 1)
+    P = dh.shape[0] // _r8(nb)
     nT = lam.shape[0] // _T
     Kp = lam.shape[0]
     lamh, laml = dw.from_f64(lam.astype(dtype).reshape(nT, 1, 8, 128))
@@ -423,7 +445,7 @@ def spike_refine(d, e, lam, V, nb: int = 128, chunk: int = 2048,
     nb = int(nb)
     chunk = max(_T, (int(chunk) // _T) * _T)
     dh, dl, eh, el, ech, ecl, e_cross, ec_above, tiny = _band_prep(d, e, nb)
-    npad = (dh.shape[0] // (nb + 1)) * nb
+    npad = (dh.shape[0] // _r8(nb)) * nb
 
     bnds = []
     for o in range(0, K, chunk):
