@@ -83,6 +83,11 @@ class SolverConfig:
     #   only).
     refine_block: int = 128
     refine_block_alt: int = 96
+    # refine_block_rescue: third block size for the measured-residual rescue
+    #   pass — columns whose spike/extra passes BOTH fail (e.g. the pair
+    #   arithmetic's back-substitution cascade hit the clip at both sizes)
+    #   get XLA-path passes at this size with explicitly measured residuals.
+    refine_block_rescue: int = 64
     # refine_residual_factor: columns whose measured residual after the first
     #   pass exceeds factor * eps * ||T|| join the second refinement pass
     #   (catches solver-resonant columns whose eigenvalue gaps are wide —
@@ -184,6 +189,7 @@ class SolverConfig:
                      self.use_gu_eisenstat, self.block_size, self.vec_chunk,
                      self.refine_chunk,
                      self.refine_block, self.refine_block_alt,
+                     self.refine_block_rescue,
                      self.refine_residual_factor,
                      self.mixed_precision_vectors, self.refine_steps,
                      self.use_pallas_refine,

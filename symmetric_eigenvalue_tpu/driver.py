@@ -418,8 +418,11 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     # Pallas Spike path (TPU): the whole pass runs in VMEM kernels with the
     # dstein residual ||v||/||x|| for free, replacing both the XLA scans'
     # dispatch latency and the explicit residual matvec passes.
+    # SE_FORCE_SPIKE=1: tests substitute a fake spike_refine on CPU to
+    # exercise the estimate-honesty / rescue machinery end-to-end
     use_spike = (config.use_pallas_refine and n >= 512
-                 and jax.default_backend() == "tpu")
+                 and (jax.default_backend() == "tpu"
+                      or os.environ.get("SE_FORCE_SPIKE") == "1"))
 
     def one_pass(lam_c, V_c, nb):
         """One refinement pass; returns (V, res_estimate or None)."""
@@ -521,6 +524,44 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
                     V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
                 if prof:
                     _sync(V)
+            # Measured-residual rescue: columns whose BOTH spike passes
+            # failed the threshold (e.g. the pair-arithmetic back-substitution
+            # cascade hit the +-2^80 clip at both block sizes — the kernel
+            # flags those with a 1e30 estimate) get XLA-path passes at a
+            # third block size, accepted only on an EXPLICIT residual
+            # measurement.  Rare (0-10 columns), so the extra matvec pass is
+            # cheap; guarantees no column ever ends worse than its best
+            # attempt.
+            res_after = res1.copy()
+            if idx.size:
+                res_after[idx] = np.where(improved[idx], res_b[: idx.size],
+                                          res1[idx])
+            still = np.nonzero(risky & (res_after > thr_res))[0]
+            if still.size:
+                b2 = 1
+                while b2 < still.size:
+                    b2 *= 2
+                st_p = np.concatenate(
+                    [still, np.zeros(b2 - still.size, np.int64)])
+                st_j = jnp.asarray(st_p)
+                with subtimer.phase("refine_rescue"):
+                    Vr2 = V[:, st_j]
+                    lam_r2 = lam_sel[st_j]
+                    for _ in range(2):
+                        Vr2 = _compiled_refine(
+                            n, b2, config, config.refine_block_rescue)(
+                            d, e, lam_r2, Vr2)
+                    res2 = residuals_chunked(lam_r2, Vr2)
+                    improved2 = np.zeros(C, dtype=bool)
+                    improved2[still] = res2[: still.size] < res_after[still]
+                    srcpos2 = np.zeros(C, np.int64)
+                    srcpos2[still] = np.arange(still.size)
+                    V = jax.jit(
+                        lambda V, Vr, mask, sp: jnp.where(mask[None, :],
+                                                          Vr[:, sp], V))(
+                        V, Vr2, jnp.asarray(improved2), jnp.asarray(srcpos2))
+                    if prof:
+                        _sync(V)
 
     # final cleanup at the WIDE threshold: after the passes above the mixing
     # in [cluster_gap_factor, ortho_gap_factor) segments is tiny, so this is

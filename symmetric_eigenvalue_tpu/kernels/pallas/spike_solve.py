@@ -418,11 +418,24 @@ def _chunk_b(dh, dl, eh, el, ech, ecl, tiny, lam, B, L_above, F_below,
         return X, jnp.zeros((Kp,), dtype)
     # max-prescaled normalization (squares stay inside the f32 exponent
     # range of the platform's emulated f64) + the free dstein residual
-    mxc = jnp.maximum(jnp.max(mx, axis=0), 1e-30).astype(dtype)
+    mx_raw = jnp.max(mx, axis=0)                       # (Kp,) f32
+    mxc = jnp.maximum(mx_raw, 1e-30).astype(dtype)
     Y = X / mxc[None, :]
     nrm = jnp.linalg.norm(Y, axis=0)
     nrm_safe = jnp.maximum(nrm, 1e-30)
     res = vnorm / (mxc * nrm_safe)
+    # HONESTY GUARD: ||v||/||x|| assumes x actually solves the system.  When
+    # the back-substitution cascade hits the +-_BIG clip the output is NOT a
+    # solution (the clip truncates the growth mid-cascade and garbles the
+    # direction), and the estimate comes out absurdly SMALL (~1e-25) exactly
+    # when the column is worthless — observed at 4/16384 columns of the
+    # n=16384 headline, whose pair-arithmetic pivot decisions diverged from
+    # the XLA solver's on near-singular systems.  Flag clipped/non-finite
+    # columns with a huge sentinel so the driver's risky-column machinery
+    # (extra pass + measured-residual rescue) picks them up.
+    clipped = (~jnp.isfinite(mx_raw)) | (
+        mx_raw >= jnp.asarray(_BIG * 0.99, mx_raw.dtype))
+    res = jnp.where(clipped, jnp.asarray(1e30, dtype), res)
     return Y / nrm_safe[None, :], res
 
 

@@ -232,3 +232,53 @@ def test_single_jit_max_n_autoroutes(rng):
     assert r3.eigenvectors.shape == (n, 3)
     assert np.abs(np.abs(np.asarray(r3.eigenvectors))
                   - np.abs(np.asarray(res1.eigenvectors)[:, sel])).max() < 1e-10
+
+
+def test_refine_rescue_from_clipped_spike(rng, monkeypatch):
+    """A spike pass whose back-substitution clipped returns a GARBAGE column
+    with the 1e30 residual sentinel (post-fix honesty; the pre-fix kernel
+    reported ~1e-25 and the n=16384 headline recorded residual 0.15*||T||).
+    Both spike passes failing must trigger the measured-residual XLA rescue,
+    and the final pipeline output must still meet the residual target."""
+    import jax.numpy as jnp
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+    from symmetric_eigenvalue_tpu.kernels import refine
+    from symmetric_eigenvalue_tpu.kernels.pallas import spike_solve
+
+    n = 768
+    d = np.linspace(1.0, 100.0, n)          # scheme 1: well-separated
+    e = -np.ones(n - 1)
+    T = dense_from_tridiag(d, e)
+    w = np.linalg.eigvalsh(T)
+    lam_target = w[np.argmin(np.abs(w - 50.0))]
+    g = np.sin(np.arange(n) * 2.17)
+    g /= np.linalg.norm(g)
+
+    def fake_spike(dd, ee, lam_c, V_c, nb=128, chunk=2048, **kw):
+        # real XLA refinement, then simulate a clipped cascade on the column
+        # whose shift matches lam_target (in both pass 1 and the alt pass)
+        X = refine.inverse_iteration(dd, ee, lam_c, V_c, steps=1, block=nb)
+        lam_np = np.asarray(lam_c)
+        Xn = np.array(X)
+        Tx = np.asarray(dd)[:, None] * Xn
+        Tx[:-1] += np.asarray(ee)[:, None] * Xn[1:]
+        Tx[1:] += np.asarray(ee)[:, None] * Xn[:-1]
+        res = np.linalg.norm(Tx - Xn * lam_np[None, :], axis=0)
+        # the staged driver prescales: match lam_target in those units
+        hit = np.abs(lam_np * (np.abs(d).max() + 2.0) - lam_target) < 1e-8
+        if hit.any():
+            Xn[:, hit] = g[:, None]
+            res[hit] = 1e30
+        return jnp.asarray(Xn), jnp.asarray(res)
+
+    monkeypatch.setattr(spike_solve, "spike_refine", fake_spike)
+    monkeypatch.setenv("SE_FORCE_SPIKE", "1")
+    monkeypatch.setenv("SE_PROFILE_BACKTRANSFORM", "1")
+    res, timer = solve_tridiagonal_staged(
+        d, e, config=se.SolverConfig(leaf_size=32), compute_vectors=True)
+    assert "bt.refine_rescue" in timer.times, timer.times
+    lam = np.asarray(res.eigenvalues)
+    V = np.asarray(res.eigenvectors)
+    nT = np.abs(lam).max()
+    assert np.abs(T @ V - V * lam[None, :]).max() < 1e-12 * nT
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-10

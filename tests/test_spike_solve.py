@@ -108,3 +108,34 @@ def test_chunked_matches_single(rng):
                                rtol=0, atol=1e-13)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
                                rtol=1e-10, atol=0)
+
+
+def test_clip_flags_residual_estimate(rng, monkeypatch):
+    """When the back-substitution cascade hits the +-_BIG clip the output is
+    not a solution and the free ||v||/||x|| estimate is meaningless (it came
+    out ~1e-25 on the 4 garbled columns of the n=16384 headline) — the kernel
+    must flag such columns with the 1e30 sentinel so the driver's rescue
+    machinery sees them.  _BIG is lowered so ordinary inverse-iteration
+    growth trips the clip; unique (n, nb) keep the jit cache fresh."""
+    from symmetric_eigenvalue_tpu.kernels.pallas import spike_solve
+    monkeypatch.setattr(spike_solve, "_BIG", 1e4)
+    n, K, nb = 384, 6, 48
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1) * 0.5
+    T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    w, Q = np.linalg.eigh(T)
+    idx = np.linspace(10, n - 10, K).astype(int)
+    lam = w[idx]                    # shifts AT eigenvalues: growth ~1/eps
+    B = Q[:, idx] + rng.standard_normal((n, K)) * 1e-8
+    B /= np.linalg.norm(B, axis=0, keepdims=True)
+    X, res = spike_solve.spike_refine(
+        jnp.asarray(d), jnp.asarray(e), jnp.asarray(lam), jnp.asarray(B),
+        nb=nb, interpret=True)
+    res = np.asarray(res)
+    # growth from a converged start is ~1/(eps*gap) >> 1e4: every column
+    # must clip and be flagged
+    assert np.all(res >= 1e29), res
+    # and the flagged outputs are still finite unit vectors
+    X = np.asarray(X)
+    assert np.all(np.isfinite(X))
+    np.testing.assert_allclose(np.linalg.norm(X, axis=0), 1.0, atol=1e-9)
