@@ -104,9 +104,16 @@ class SolverConfig:
     #   Pallas Spike kernels (kernels/pallas/spike_solve.py) on TPU: the XLA
     #   scans dispatch nb + P sequential fused kernels per column chunk
     #   (~0.1 ms in-jit floor each — pure latency), the kernel loops cost
-    #   nanoseconds per row, and the residuals come free (||v||/||x||),
-    #   eliminating the explicit residual matvec passes.  No effect off-TPU.
+    #   nanoseconds per row.  No effect off-TPU.
     use_pallas_refine: bool = True
+    # use_pallas_refine_extra: use the Spike kernel for the RISKY-column
+    #   extra pass too.  Default False: the extra pass's bucket is narrow
+    #   (XLA's blocked-scan latency is a few tens of ms there), and the XLA
+    #   solver's emulated-f64 arithmetic leaves measurably less mixing /
+    #   residual on block-resonant and tight-gap columns than the pair
+    #   kernel (Poisson n=16384: 5e-13 vs 2.1e-12 residual, 6e-11 vs 4.2e-9
+    #   orthogonality) — exactly the columns the extra pass exists for.
+    use_pallas_refine_extra: bool = False
     # Mixed-precision refinement thresholds (both relative to ||T||):
     #
     # refine_risky_gap_factor: columns whose eigenvalue gap is below
@@ -192,7 +199,7 @@ class SolverConfig:
                      self.refine_block_rescue,
                      self.refine_residual_factor,
                      self.mixed_precision_vectors, self.refine_steps,
-                     self.use_pallas_refine,
+                     self.use_pallas_refine, self.use_pallas_refine_extra,
                      self.refine_risky_gap_factor, self.cluster_gap_factor,
                      self.ortho_gap_factor, self.single_jit_max_n))
 

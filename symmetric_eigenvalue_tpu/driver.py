@@ -424,9 +424,9 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
                  and (jax.default_backend() == "tpu"
                       or os.environ.get("SE_FORCE_SPIKE") == "1"))
 
-    def one_pass(lam_c, V_c, nb):
+    def one_pass(lam_c, V_c, nb, allow_spike=True):
         """One refinement pass; returns (V, res_estimate or None)."""
-        if use_spike:
+        if use_spike and allow_spike:
             from .kernels.pallas.spike_solve import spike_refine
             return spike_refine(d, e, lam_c, V_c, nb=nb, chunk=chunk)
         nc = int(lam_c.shape[0])
@@ -469,10 +469,17 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     if config.refine_steps > 1 and C > 1:
         risky = risky_columns(lam_np, norm_t, config)
         with subtimer.phase("residuals1"):
-            # the Spike kernel pass measured its own residuals (||v||/||x||,
-            # the dstein quantity) — one host fetch instead of a matvec pass
-            res1 = (np.asarray(res1_dev) if res1_dev is not None
-                    else residuals_chunked(lam_sel, V))
+            # MEASURED residuals, always: the Spike estimate (||v||/||x||,
+            # the dstein quantity) systematically UNDERSHOOTS for
+            # block-resonant columns whose solve engaged many clamped pivots
+            # (Poisson n=16384: two columns truly at 2e-12*||T|| estimated
+            # below threshold), so triage must not trust it.  The matvec
+            # pass is cheap (~0.03 s at n=16384 — the latency the kernel
+            # saves is in the SOLVES, not here); the estimate still
+            # contributes its clip sentinel via elementwise max.
+            res1 = residuals_chunked(lam_sel, V)
+            if res1_dev is not None:
+                res1 = np.maximum(res1, np.asarray(res1_dev))
         thr_res = config.refine_residual_factor * config.eps() * \
             max(norm_t, 1e-30)
         risky = risky | (res1 > thr_res)
@@ -490,6 +497,11 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
             if prof:
                 _sync(V)
         idx = np.nonzero(risky)[0]
+        if prof:
+            print(f"  [profile] risky columns: {idx.size} "
+                  f"(gap-based {int(risky_columns(lam_np, norm_t, config).sum())}, "
+                  f"residual-flagged {int((res1 > thr_res).sum())})",
+                  flush=True)
         if idx.size:
             # pad to a power-of-two bucket to bound recompilations
             b = 1
@@ -500,17 +512,22 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
             with subtimer.phase("refine_extra"):
                 Vr = V[:, idx_j]
                 lam_r = lam_sel[idx_j]
-                res_b_dev = None
+                # XLA solver by default (use_pallas_refine_extra=False): the
+                # bucket is narrow so its scan latency is small, and its
+                # emulated-f64 arithmetic leaves less mixing/residual on the
+                # resonant and tight-gap columns this pass targets than the
+                # pair kernel (SolverConfig docstring has the measurements)
                 for _ in range(config.refine_steps - 1):
-                    Vr, res_b_dev = one_pass(lam_r, Vr,
-                                             config.refine_block_alt)
-                # keep the BETTER of pre/post-pass per column: a column
-                # resonant with the alternate block size gets *degraded* by
-                # the extra pass (observed: Poisson columns at ~k*(alt_nb+1)
+                    Vr, _unused = one_pass(
+                        lam_r, Vr, config.refine_block_alt,
+                        allow_spike=config.use_pallas_refine_extra)
+                # keep the BETTER of pre/post-pass per column — by MEASURED
+                # residual (bucket-sized matvec, cheap): a column resonant
+                # with the alternate block size gets *degraded* by the extra
+                # pass (observed: Poisson columns at ~k*(alt_nb+1)
                 # block-eigenvalue spacings), so the pass must never be
                 # allowed to lose ground
-                res_b = (np.asarray(res_b_dev) if res_b_dev is not None
-                         else residuals_chunked(lam_r, Vr))
+                res_b = residuals_chunked(lam_r, Vr)
                 improved = np.zeros(C, dtype=bool)
                 improved[idx] = res_b[: idx.size] < res1[idx]
                 keep = risky & improved

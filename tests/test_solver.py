@@ -274,8 +274,12 @@ def test_refine_rescue_from_clipped_spike(rng, monkeypatch):
     monkeypatch.setattr(spike_solve, "spike_refine", fake_spike)
     monkeypatch.setenv("SE_FORCE_SPIKE", "1")
     monkeypatch.setenv("SE_PROFILE_BACKTRANSFORM", "1")
+    # spike on BOTH passes so the fake corrupts twice and the rescue stage
+    # (real XLA solves + measured residuals) must do the healing
     res, timer = solve_tridiagonal_staged(
-        d, e, config=se.SolverConfig(leaf_size=32), compute_vectors=True)
+        d, e, config=se.SolverConfig(leaf_size=32,
+                                     use_pallas_refine_extra=True),
+        compute_vectors=True)
     assert "bt.refine_rescue" in timer.times, timer.times
     lam = np.asarray(res.eigenvalues)
     V = np.asarray(res.eigenvectors)

@@ -63,8 +63,10 @@ def test_resolved_leaf_size_cap(monkeypatch):
     assert SolverConfig(leaf_size=8).resolved_leaf_size(65536) == 8
     # on CPU: plain default
     assert cfg.resolved_leaf_size(65536) == 32
-    # on (pretend) TPU: leaf count capped at 1024
+    # on (pretend) TPU: default 64 (round-robin Jacobi makes bigger leaves
+    # cheap; tools/leaf_retune.py measured 2.79 s at 64 vs 2.98 at 128 for
+    # n=16384) and the leaf count capped at 1024
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    assert cfg.resolved_leaf_size(16384) == 32
+    assert cfg.resolved_leaf_size(16384) == 64
     assert cfg.resolved_leaf_size(65536) == 64
     assert cfg.resolved_leaf_size(262144) == 256

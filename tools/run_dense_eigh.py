@@ -42,32 +42,40 @@ from symmetric_eigenvalue_tpu.driver import eigh  # noqa: E402
 from symmetric_eigenvalue_tpu.utils.checks import max_ortho_error  # noqa: E402
 
 
-def dense_residual(A, lam, V, col_chunk=2048):
-    """max_i ||A v_i - lam_i v_i||_inf, f64-grade, column-blocked.
+def dense_residual(A, lam, V, col_chunk=2048, row_chunk=4096):
+    """max_i ||A v_i - lam_i v_i||_inf, f64-grade, row- AND column-blocked.
 
     Uses the double-word GEMM on TPU (XLA emulated-f64 n^3 dot would take
     ~90 s at n=16384 and the f32-HIGHEST expansion OOMs; see utils/checks).
-    """
+    Row-blocking bounds the kernel's f32-pair expansion of the A operand:
+    with A (2.1 GB) and V (2.1 GB) both live at n=16384, pair temporaries of
+    the FULL A pushed the check over the 16 GB HBM (observed ResourceExhausted
+    after an otherwise-successful solve)."""
     n = A.shape[0]
     col_chunk = min(col_chunk, n)
+    row_chunk = min(row_chunk, n)
     use_dword = jax.default_backend() == "tpu"
 
-    def chunk_err(A, V, lam, c0):
+    def chunk_err(A, V, lam, r0, c0):
+        Ar = jax.lax.dynamic_slice_in_dim(A, r0, row_chunk, axis=0)
         Vc = jax.lax.dynamic_slice_in_dim(V, c0, col_chunk, axis=1)
         lc = jax.lax.dynamic_slice_in_dim(lam, c0, col_chunk)
         if use_dword:
             from symmetric_eigenvalue_tpu.kernels.pallas.dword_matmul import (
                 dword_matmul)
-            AV = dword_matmul(A, Vc)
+            AV = dword_matmul(Ar, Vc)
         else:
-            AV = A @ Vc
-        return jnp.max(jnp.abs(AV - Vc * lc[None, :]))
+            AV = Ar @ Vc
+        Vrc = jax.lax.dynamic_slice_in_dim(Vc, r0, row_chunk, axis=0)
+        return jnp.max(jnp.abs(AV - Vrc * lc[None, :]))
 
     fn = jax.jit(chunk_err)
     worst = 0.0
     for c0 in range(0, n, col_chunk):
         c0 = min(c0, n - col_chunk)
-        worst = max(worst, float(fn(A, V, lam, c0)))
+        for r0 in range(0, n, row_chunk):
+            r0 = min(r0, n - row_chunk)
+            worst = max(worst, float(fn(A, V, lam, r0, c0)))
     return worst
 
 
