@@ -116,12 +116,16 @@ class SolverConfig:
     use_pallas_refine_extra: bool = False
     # Mixed-precision refinement thresholds (both relative to ||T||):
     #
-    # refine_risky_gap_factor: columns whose eigenvalue gap is below
-    #   factor * eps_f32 * ||T|| get the extra refinement passes.  The f32
-    #   downsweep leaves intra-cluster mixing O(eps_f32*||T||/gap); one f64
-    #   inverse-iteration pass shrinks it by ~(lam_err/gap) ~ (10*eps*||T||/gap),
-    #   so gaps >= 100*eps_f32*||T|| reach <=1e-11 orthogonality in one pass and
-    #   only the tighter gaps need the second.
+    # refine_risky_gap_factor: the explicit-orthonormalization band, in units
+    #   of eps_f32 * ||T||.  The f32 downsweep leaves intra-cluster mixing
+    #   O(eps_f32*||T||/gap); one f64 inverse-iteration pass shrinks it by
+    #   ~(lam_err/gap) ~ (10*eps*||T||/gap), so gaps >= 100*eps_f32*||T||
+    #   reach <=1e-11 orthogonality in one pass.  Segments with any gap BELOW
+    #   that are batch-CholeskyQR'd after the first pass (driver ortho_mid) —
+    #   exact orthogonality at residual cost mixing*gap <= ~1e-13*||T||.
+    #   (Round-2 instead ran a second refinement pass over every such column;
+    #   round-3 profiling showed 2842/2843 of them needed no residual work —
+    #   ~0.5 s of solves at n=16384 replaced by the wider CholeskyQR band.)
     refine_risky_gap_factor: float = 100.0
     # cluster_gap_factor: gaps below factor * ||T|| are treated as degenerate
     #   clusters and re-orthonormalized by QR (dstein-style) — inverse iteration
@@ -134,17 +138,18 @@ class SolverConfig:
     #   have thousands of gaps just above any loose threshold and every extra
     #   QR segment costs host-loop dispatches.
     cluster_gap_factor: float = 1e-8
-    # ortho_gap_factor: dstein-style explicit orthogonalization threshold
-    #   (relative to ||T||).  Columns whose gaps sit in
-    #   [cluster_gap_factor, ortho_gap_factor) are separable by inverse
+    # ortho_gap_factor: FLOOR of the dstein-style explicit orthogonalization
+    #   threshold (relative to ||T||).  The driver's mid/final cleanup band is
+    #   max(ortho_gap_factor, refine_risky_gap_factor * u_f32) ~ 6e-6: columns
+    #   whose gaps sit in [cluster_gap_factor, band) are separable by inverse
     #   iteration in exact arithmetic, but the f32 downsweep leaves them with
     #   O(eps_f32*||T||/gap) mutual mixing that refinement shrinks only by
     #   (lam_err/gap) per pass — at gap ~ 1e-7*||T|| that stalls around 1e-6
     #   (the round-2 Poisson blemish).  So after the first refinement pass
     #   these segments are explicitly orthonormalized (batched CholeskyQR —
-    #   residual cost is mixing*gap, ~1e-13*||T|| worst case) and the second
-    #   pass then runs on clean columns.  LAPACK dstein's ortol plays the
-    #   same role (ref analog: getEigenVector, eigenvalues.c:291-358).
+    #   residual cost is mixing*gap, ~1e-13*||T|| worst case).  LAPACK
+    #   dstein's ortol plays the same role (ref analog: getEigenVector,
+    #   eigenvalues.c:291-358).
     ortho_gap_factor: float = 1e-6
     # single_jit_max_n: largest n (with eigenvectors) the single-jit
     #   ``solve_tridiagonal`` path handles itself; above it the call

@@ -380,24 +380,6 @@ def _compiled_refine(n: int, ncols: int, config: SolverConfig, nb: int):
     return jax.jit(fn, donate_argnums=(3,))
 
 
-def risky_columns(lam_np, norm_t: float, config: SolverConfig):
-    """Boolean mask of eigenvector columns that need extra refinement passes.
-
-    A column is risky when either adjacent eigenvalue gap is below
-    ``refine_risky_gap_factor * u_f32 * ||T||``: the f32 downsweep cannot
-    resolve such gaps, so those columns start with O(1) intra-cluster mixing
-    that one inverse-iteration pass does not fully remove (see SolverConfig).
-    """
-    # f32 unit roundoff (eps/2 ~ 6e-8) bounds the downsweep's gap resolution
-    u_f32 = float(jnp.finfo(jnp.float32).eps) / 2.0
-    thr = config.refine_risky_gap_factor * u_f32 * max(norm_t, 1e-30)
-    gaps = np.diff(lam_np)
-    risky = np.zeros(lam_np.shape[0], dtype=bool)
-    risky[1:] |= gaps < thr
-    risky[:-1] |= gaps < thr
-    return risky
-
-
 def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     """Mixed-precision epilogue: one f64 inverse-iteration pass restores
     working-precision residuals from the f32 downsweep; clusters that inverse
@@ -445,13 +427,6 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
         if prof:
             _sync(V)
 
-    # Adaptive extra passes, with the ALTERNATE solver block size (see
-    # SolverConfig.refine_block_alt): columns whose eigenvalue gaps the f32
-    # downsweep cannot resolve (gap < ~100*eps_f32*||T||) start with O(1)
-    # intra-cluster mixing, and columns whose *measured* residual after the
-    # first pass is still above ~refine_residual_factor*eps*||T|| hit the
-    # solver's block-resonance (their gaps can be wide) — both sets get the
-    # second pass.
     norm_t = float(jnp.max(jnp.abs(lam)))
     lam_np = np.asarray(lam_sel)
     def residuals_chunked(lam_c, V_c):
@@ -466,8 +441,30 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
                 d, e, lam_c[o:o + w], V_c[:, o:o + w]))
         return np.asarray(jnp.concatenate(out) if len(out) > 1 else out[0])
 
-    if config.refine_steps > 1 and C > 1:
-        risky = risky_columns(lam_np, norm_t, config)
+    did_triage = config.refine_steps > 1 and C > 1
+    touched = np.zeros(C, dtype=bool)
+    if did_triage:
+        # dstein-style: explicitly orthonormalize EVERY near-degenerate
+        # segment the f32 downsweep could not resolve, BEFORE residual
+        # triage.  Gaps below ~refine_risky_gap_factor*u_f32*||T|| leave
+        # O(eps_f32*||T||/gap) intra-cluster mixing that one refinement pass
+        # shrinks only by (lam_err/gap) — at gap ~ 1e-7*||T|| that stalls
+        # around 1e-6 (the round-2 Poisson blemish).  One batched CholeskyQR
+        # removes the mixing EXACTLY at residual cost ~ mixing*gap
+        # (<=1e-13*||T||), so no gap-based second refinement pass is needed
+        # at all: round-3 profiling showed the gap heuristic flagged 2842
+        # columns at n=16384 of which ONE had a residual problem — ~0.5 s of
+        # extra solves replaced by widening this pass's band from
+        # ortho_gap_factor to the full risky band.
+        u_f32 = float(jnp.finfo(jnp.float32).eps) / 2.0
+        gap_mid = max(config.ortho_gap_factor,
+                      config.refine_risky_gap_factor * u_f32)
+        with subtimer.phase("ortho_mid"):
+            V = orthonormalize_clusters(lam_np, V, norm_t,
+                                        gap_factor=gap_mid,
+                                        min_gap_factor=config.cluster_gap_factor)
+            if prof:
+                _sync(V)
         with subtimer.phase("residuals1"):
             # MEASURED residuals, always: the Spike estimate (||v||/||x||,
             # the dstein quantity) systematically UNDERSHOOTS for
@@ -475,32 +472,22 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
             # (Poisson n=16384: two columns truly at 2e-12*||T|| estimated
             # below threshold), so triage must not trust it.  The matvec
             # pass is cheap (~0.03 s at n=16384 — the latency the kernel
-            # saves is in the SOLVES, not here); the estimate still
-            # contributes its clip sentinel via elementwise max.
+            # saves is in the SOLVES, not here).  The kernel's 1e30 clip
+            # sentinel still forces a column into the extra pass, but the
+            # measured value stays the improvement baseline so a sentinel
+            # column whose vector is actually fine is never overwritten by
+            # a worse re-solve.
             res1 = residuals_chunked(lam_sel, V)
-            if res1_dev is not None:
-                res1 = np.maximum(res1, np.asarray(res1_dev))
+            sentinel = (np.asarray(res1_dev) > 1e29) \
+                if res1_dev is not None else np.zeros(C, dtype=bool)
         thr_res = config.refine_residual_factor * config.eps() * \
             max(norm_t, 1e-30)
-        risky = risky | (res1 > thr_res)
-        # dstein-style: explicitly orthogonalize near-degenerate segments
-        # BEFORE the extra pass.  Gaps in [cluster_gap_factor,
-        # ortho_gap_factor) are separable in exact arithmetic but the f32
-        # downsweep's O(eps_f32*||T||/gap) mixing decays only by (lam_err/gap)
-        # per refinement pass and stalls ~1e-6 at gap ~ 1e-7*||T|| (round-2
-        # Poisson blemish).  Cleaning here costs residual ~ mixing*gap
-        # (<=1e-13*||T||), which the second pass then polishes away.
-        with subtimer.phase("ortho_mid"):
-            V = orthonormalize_clusters(lam_np, V, norm_t,
-                                        gap_factor=config.ortho_gap_factor,
-                                        min_gap_factor=config.cluster_gap_factor)
-            if prof:
-                _sync(V)
+        risky = (res1 > thr_res) | sentinel
         idx = np.nonzero(risky)[0]
         if prof:
             print(f"  [profile] risky columns: {idx.size} "
-                  f"(gap-based {int(risky_columns(lam_np, norm_t, config).sum())}, "
-                  f"residual-flagged {int((res1 > thr_res).sum())})",
+                  f"(residual-flagged {int((res1 > thr_res).sum())}, "
+                  f"clip-sentinel {int(sentinel.sum())})",
                   flush=True)
         if idx.size:
             # pad to a power-of-two bucket to bound recompilations
@@ -531,6 +518,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
                 improved = np.zeros(C, dtype=bool)
                 improved[idx] = res_b[: idx.size] < res1[idx]
                 keep = risky & improved
+                touched |= keep
                 # write back with gather+select: any large scatter busts the
                 # TPU's 16MB scoped-VMEM limit in either orientation
                 srcpos = np.zeros(C, np.int64)
@@ -571,6 +559,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
                     res2 = residuals_chunked(lam_r2, Vr2)
                     improved2 = np.zeros(C, dtype=bool)
                     improved2[still] = res2[: still.size] < res_after[still]
+                    touched |= improved2
                     srcpos2 = np.zeros(C, np.int64)
                     srcpos2[still] = np.arange(still.size)
                     V = jax.jit(
@@ -580,14 +569,24 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
                     if prof:
                         _sync(V)
 
-    # final cleanup at the WIDE threshold: after the passes above the mixing
-    # in [cluster_gap_factor, ortho_gap_factor) segments is tiny, so this is
-    # a near-identity CholeskyQR there (residual cost ~ mixing*gap ~ 0) while
-    # genuinely degenerate clusters below cluster_gap_factor get their final
-    # orthonormal basis as before
+    # final cleanup.  After the triage pipeline only two kinds of segment can
+    # still be non-orthonormal: genuinely degenerate clusters (every gap below
+    # cluster_gap_factor*||T|| — the mid pass deliberately skipped them) and
+    # segments containing a column the extra/rescue passes modified AFTER the
+    # mid orthonormalization.  Everything else was CholeskyQR'd at the wide
+    # band already and has not changed since — re-running it cost ~0.24 s of
+    # the n=16384 headline for near-identity transforms.
     with subtimer.phase("ortho_final"):
-        V = orthonormalize_clusters(lam_np, V, norm_t,
-                                    gap_factor=config.ortho_gap_factor)
+        if did_triage:
+            V = orthonormalize_clusters(
+                lam_np, V, norm_t, gap_factor=gap_mid,
+                touched=touched,
+                degenerate_below=config.cluster_gap_factor)
+        else:
+            # no triage ran (single-pass config or a single column): the
+            # full wide-threshold cleanup is still required
+            V = orthonormalize_clusters(lam_np, V, norm_t,
+                                        gap_factor=config.ortho_gap_factor)
         if prof:
             _sync(V)
     return V

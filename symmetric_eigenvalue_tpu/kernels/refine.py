@@ -362,6 +362,41 @@ def cluster_segments(lam, gap_tol):
 _MAX_BATCH_W = 256
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_wide_orth(n: int, w: int, tpu_f64: bool):
+    """CholeskyQR of ONE oversized segment (w > _MAX_BATCH_W) in one dispatch.
+
+    Wide segments happen when the explicit-orthogonalization band
+    (ortho_gap_factor..risky band, see SolverConfig) sweeps up a long run of
+    consecutive tight gaps — e.g. the ~320 lowest/highest columns of the
+    Poisson spectrum, whose neighbor gaps grow only linearly.  A host-side
+    ``jnp.linalg.qr`` on (n, w) emulated-f64 operands costs seconds; one
+    Gram + triangular solve is milliseconds.  Same a-priori Gershgorin
+    acceptance as the batched path: err < 0.1 bounds cond(G) so one
+    CholeskyQR reaches ~n*u orthogonality; the caller falls back to
+    explicit QR when it fails."""
+
+    def fn(S):
+        if tpu_f64:
+            # XLA's emulated-f64 matrix-matrix dot is only ~1e-6-grade at
+            # these contraction lengths (see the batched gram note above);
+            # route through the MXU-sliced double-word GEMM.
+            from .pallas.dword_matmul import dword_matmul
+            G = dword_matmul(S.T, S)
+        else:
+            G = jax.lax.dot_general(
+                S, S, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+        L = jnp.linalg.cholesky(G)
+        Y = jax.lax.linalg.triangular_solve(
+            L, S, left_side=False, lower=True, transpose_a=True)
+        err = jnp.max(jnp.sum(jnp.abs(G - jnp.eye(w, dtype=S.dtype)), axis=1))
+        ok = jnp.all(jnp.isfinite(Y)) & (err < 0.1)
+        return ok, Y
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
     """Batched CholeskyQR over every cluster segment in one dispatch.
@@ -433,7 +468,8 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
 
 
 def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
-                            min_gap_factor: float = 0.0):
+                            min_gap_factor: float = 0.0,
+                            touched=None, degenerate_below: float = 0.0):
     """Orthonormalize eigenvector groups whose eigenvalue gaps are below
     gap_factor * ||T|| (inverse iteration cannot separate them; any orthonormal
     basis of the cluster subspace has an equally small residual).
@@ -449,6 +485,25 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
     n=4096 bench — ~64 sequential emulated-f64 QR dispatches); oversized
     segments (rare: a >256-fold degeneracy) fall back to explicit QR."""
     segs = cluster_segments(lam, gap_factor * norm_t)
+    if (touched is not None or degenerate_below > 0.0) and segs:
+        # final-cleanup filter: only segments that were NOT left orthonormal
+        # by the mid-refinement pass need work — genuinely degenerate groups
+        # (every gap below degenerate_below*||T||, which the mid pass skipped)
+        # and segments containing a column the extra/rescue refinement passes
+        # modified afterwards.  Everything else was CholeskyQR'd mid-pipeline
+        # and has not changed since.
+        import numpy as np
+        lam_np = np.asarray(lam)
+        thr_deg = degenerate_below * norm_t
+        tch = None if touched is None else np.asarray(touched)
+
+        def _needs(s, t):
+            if degenerate_below > 0.0 and \
+                    np.diff(lam_np[s:t]).max(initial=0.0) < thr_deg:
+                return True
+            return tch is not None and bool(tch[s:t].any())
+
+        segs = [(s, t) for (s, t) in segs if _needs(s, t)]
     if min_gap_factor > 0.0 and segs:
         # keep only segments containing at least one gap ABOVE
         # min_gap_factor*||T||: fully-degenerate clusters (every gap below)
@@ -496,7 +551,14 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
         seg_ok_np = np.asarray(seg_ok[: nseg])
         large = large + [seg for seg, ok in zip(small, seg_ok_np) if not ok]
 
+    tpu_f64 = (jax.default_backend() == "tpu" and V.dtype == jnp.float64)
     for s, t in large:
-        q, _ = jnp.linalg.qr(V[:, s:t])
-        V = V.at[:, s:t].set(q)
+        ok, Y = _compiled_wide_orth(int(V.shape[0]), t - s, tpu_f64)(V[:, s:t])
+        if bool(ok):
+            V = V.at[:, s:t].set(Y)
+        else:
+            # near-parallel columns the refinement could not separate:
+            # CholeskyQR's Gram is not safely SPD, take the explicit QR
+            q, _ = jnp.linalg.qr(V[:, s:t])
+            V = V.at[:, s:t].set(q)
     return V

@@ -63,26 +63,76 @@ def test_cluster_segments():
     assert cluster_segments(np.array([0.0, 1.0]), 1e-9) == []
 
 
-def test_risky_column_selection():
-    """Adaptive second-pass selection: only columns whose gaps the f32
-    downsweep cannot resolve are marked (both sides of a tight gap)."""
-    from symmetric_eigenvalue_tpu import SolverConfig
-    from symmetric_eigenvalue_tpu.driver import risky_columns
+def test_cluster_orth_wide_segment(rng):
+    """Segments wider than the batched-CholeskyQR cap (256) take the
+    single-dispatch wide CholeskyQR path (e.g. the ~320-column Poisson edge
+    runs once the orthogonalization band covers the full risky-gap band) —
+    NOT the seconds-long explicit QR fallback.  Must orthonormalize in place
+    (same subspace) and leave other columns untouched."""
+    from symmetric_eigenvalue_tpu.kernels.refine import (_MAX_BATCH_W,
+                                                         orthonormalize_clusters)
 
-    cfg = SolverConfig()
-    u32 = np.finfo(np.float32).eps / 2.0
-    norm_t = 10.0
-    thr = cfg.refine_risky_gap_factor * u32 * norm_t
-    # gaps: [wide, tight, wide, tight] -> columns 1,2 and 3,4 risky
-    lam = np.array([0.0, 1.0, 1.0 + 0.1 * thr, 5.0, 5.0 + 0.5 * thr])
-    risky = risky_columns(lam, norm_t, cfg)
-    assert risky.tolist() == [False, True, True, True, True]
-    # all-wide spectrum: nothing risky
-    lam2 = np.arange(6, dtype=float)
-    assert not risky_columns(lam2, norm_t, cfg).any()
-    # threshold scales with config factor
-    cfg2 = SolverConfig(refine_risky_gap_factor=1e9)
-    assert risky_columns(lam2, norm_t, cfg2).all()
+    n = 384
+    w = _MAX_BATCH_W + 8
+    lam = np.arange(n, dtype=float)
+    lam[:w] = np.linspace(0.0, 1e-10, w)     # one wide near-degenerate run
+    V = _orthonormal(rng, n, n)
+    V[:, :w] += 1e-6 * rng.standard_normal((n, w))
+    out = np.asarray(orthonormalize_clusters(
+        lam, jnp.asarray(V), norm_t=float(np.abs(lam).max())))
+    blk = out[:, :w]
+    assert np.abs(blk.T @ blk - np.eye(w)).max() < 1e-12
+    proj = blk @ (blk.T @ V[:, :w])
+    assert np.abs(proj - V[:, :w]).max() < 1e-5
+    assert np.array_equal(out[:, w:], V[:, w:])
+
+
+def test_cluster_orth_wide_segment_rank_deficient(rng):
+    """Wide segment whose Gram is singular (two identical columns): the
+    Gershgorin guard rejects the CholeskyQR and the explicit-QR fallback
+    still returns an orthonormal block."""
+    from symmetric_eigenvalue_tpu.kernels.refine import (_MAX_BATCH_W,
+                                                         orthonormalize_clusters)
+
+    n = 320
+    w = _MAX_BATCH_W + 4
+    lam = np.arange(n, dtype=float)
+    lam[:w] = 0.0
+    V = _orthonormal(rng, n, n)
+    V[:, 1] = V[:, 0]
+    out = np.asarray(orthonormalize_clusters(
+        lam, jnp.asarray(V), norm_t=float(np.abs(lam).max())))
+    assert np.isfinite(out).all()
+    blk = out[:, :w]
+    assert np.abs(blk.T @ blk - np.eye(w)).max() < 1e-12
+
+
+def test_cluster_orth_final_filter(rng):
+    """ortho_final's segment filter: only genuinely degenerate segments
+    (every gap below degenerate_below*||T||) and segments containing a
+    'touched' column are processed; everything else — already CholeskyQR'd
+    mid-pipeline and unchanged since — must pass through bit-identical."""
+    from symmetric_eigenvalue_tpu.kernels.refine import orthonormalize_clusters
+
+    n = 96
+    norm_t = float(n)
+    lam = np.arange(n, dtype=float)
+    lam[10:13] = 10.0                          # degenerate (gaps 0)
+    lam[40:43] = [40.0, 40.0 + 1e-5, 40.0 + 2e-5]   # separable, in-band
+    lam[70:72] = [70.0, 70.0 + 1e-5]           # separable, in-band, touched
+    V = _orthonormal(rng, n, n)
+    for s, t in [(10, 13), (40, 43), (70, 72)]:
+        V[:, s:t] += 1e-6 * rng.standard_normal((n, t - s))
+    touched = np.zeros(n, dtype=bool)
+    touched[71] = True
+    out = np.asarray(orthonormalize_clusters(
+        lam, jnp.asarray(V), norm_t=norm_t, gap_factor=1e-6,
+        touched=touched, degenerate_below=1e-8))
+    for s, t in [(10, 13), (70, 72)]:          # degenerate + touched: fixed
+        blk = out[:, s:t]
+        assert np.abs(blk.T @ blk - np.eye(t - s)).max() < 1e-12
+    # untouched separable segment: bit-identical pass-through
+    assert np.array_equal(out[:, 40:43], V[:, 40:43])
 
 
 def test_blocked_solver_matches_dense(rng):
