@@ -35,6 +35,41 @@ from .core.tree import TreePlan, build_plan
 from .core.tridiag import residual_norms
 
 _residual_norms_jit = jax.jit(residual_norms)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_residuals(n: int, C: int, chunk: int):
+    """All measured-residual chunks in ONE dispatch (lax.map over chunks).
+
+    The epilogue's triage measures ||T v - lam v|| for every column in
+    column chunks (a full-width f64 pass allocates several 2.1 GB
+    temporaries at n=16384 and OOMs next to the live downsweep buffers).
+    Dispatching each chunk separately costs ~16 ms per chunk on the
+    tunneled platform (measured: residuals1 was 0.25 s = 16 chunks at
+    n=16384 and 0.07 s = 4 chunks at n=4096 — per-chunk, not per-byte),
+    so the chunk loop runs inside one jit: same bounded (n, chunk)
+    working set, one dispatch + one host fetch.
+    """
+    import jax.lax as lax
+    K = (C + chunk - 1) // chunk
+    Cp = K * chunk
+
+    def fn(d, e, lam_c, V_c):
+        if Cp != C:
+            # padded columns are exact zeros -> residual 0, sliced off below
+            lam_c = jnp.concatenate(
+                [lam_c, jnp.zeros(Cp - C, lam_c.dtype)])
+            V_c = jnp.pad(V_c, ((0, 0), (0, Cp - C)))
+
+        def body(o):
+            lam_k = lax.dynamic_slice(lam_c, (o,), (chunk,))
+            V_k = lax.dynamic_slice(V_c, (0, o), (n, chunk))
+            return residual_norms(d, e, lam_k, V_k)
+
+        out = lax.map(body, jnp.arange(K) * chunk)      # (K, chunk)
+        return out.reshape(Cp)[:C]
+
+    return jax.jit(fn)
 from .dist.mesh import batch_mapped as _batch_mapped
 from .dist.mesh import replicated as _replicated
 from .kernels.assemble import (apply_u, apply_u_level, assemble_u,
@@ -430,16 +465,11 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     norm_t = float(jnp.max(jnp.abs(lam)))
     lam_np = np.asarray(lam_sel)
     def residuals_chunked(lam_c, V_c):
-        # column-chunked: a full-width (n, C) f64 residual pass allocates
-        # several 2.1 GB temporaries at n=16384 and OOMs alongside the live
-        # downsweep buffers.  Chunk results stay on device and come back in
-        # ONE host fetch (each fetch costs ~33 ms on the tunneled platform).
-        out = []
-        for o in range(0, int(lam_c.shape[0]), chunk):
-            w = min(chunk, int(lam_c.shape[0]) - o)
-            out.append(_residual_norms_jit(
-                d, e, lam_c[o:o + w], V_c[:, o:o + w]))
-        return np.asarray(jnp.concatenate(out) if len(out) > 1 else out[0])
+        # one dispatch for ALL chunks (see _compiled_residuals) + one fetch
+        nc = int(lam_c.shape[0])
+        if nc <= chunk:
+            return np.asarray(_residual_norms_jit(d, e, lam_c, V_c))
+        return np.asarray(_compiled_residuals(n, nc, chunk)(d, e, lam_c, V_c))
 
     did_triage = config.refine_steps > 1 and C > 1
     touched = np.zeros(C, dtype=bool)

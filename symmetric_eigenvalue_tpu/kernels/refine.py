@@ -360,6 +360,10 @@ def cluster_segments(lam, gap_tol):
 
 
 _MAX_BATCH_W = 256
+# Per-dispatch budget for the batched cluster-orth gather S (n, g2, w2) f64:
+# bytes cap on n*g2*w2*8 (and a floor so tiny n still batch usefully).
+_BATCH_BUDGET_BYTES = 1 << 29
+_MIN_BUDGET_COLS = 512
 
 
 @functools.lru_cache(maxsize=16)
@@ -525,31 +529,43 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
 
     if small:
         n, C = int(V.shape[0]), int(V.shape[1])
-        nseg = len(small)
-        wmax = max(t - s for (s, t) in small)
-        # pad wmax/nseg to powers of two to bound recompilation
-        w2 = 1
-        while w2 < wmax:
-            w2 *= 2
-        g2 = 1
-        while g2 < nseg:
-            g2 *= 2
-        starts = np.zeros(g2, np.int64)
-        widths = np.zeros(g2, np.int64)
-        colowner = np.full(C, -1, np.int64)
-        colpos = np.zeros(C, np.int64)
-        for i, (s, t) in enumerate(small):
-            starts[i] = s
-            widths[i] = t - s
-            colowner[s:t] = i
-            colpos[s:t] = np.arange(t - s)
-        V, seg_ok = _compiled_cluster_orth(n, C, g2, w2)(
-            V, jnp.asarray(starts), jnp.asarray(widths),
-            jnp.asarray(colowner), jnp.asarray(colpos))
-        # CholeskyQR failed (non-SPD Gram: columns the refinement could not
-        # separate) -> those segments kept their inputs; QR them explicitly
-        seg_ok_np = np.asarray(seg_ok[: nseg])
-        large = large + [seg for seg, ok in zip(small, seg_ok_np) if not ok]
+        # Bucket segments by power-of-two padded width and cap each
+        # dispatch's padded column count: the kernel's gather materializes
+        # S (n, g2, w2) f64, so one flat pow2 grid over ALL segments
+        # (g2 x w2 >= nseg x wmax) explodes when widths vary — at the
+        # n=16384 random headline the wide risky-gap band yields ~1400
+        # segments of widths 2..~32, an 8.6 GB gather that OOMs the 16 GB
+        # chip next to the live V/Y/repl buffers.  Width buckets waste at
+        # most 2x on padding; the per-dispatch budget keeps S <= ~0.5 GB.
+        buckets = {}
+        for (s, t) in small:
+            w2 = 1 << (t - s - 1).bit_length() if t - s > 1 else 1
+            buckets.setdefault(max(w2, 2), []).append((s, t))
+        budget_cols = max(_MIN_BUDGET_COLS, _BATCH_BUDGET_BYTES // (8 * n))
+        for w2, segs_w in sorted(buckets.items()):
+            gcap = max(1, budget_cols // w2)
+            for o in range(0, len(segs_w), gcap):
+                batch = segs_w[o:o + gcap]
+                nseg = len(batch)
+                g2 = 1 << (nseg - 1).bit_length() if nseg > 1 else 1
+                starts = np.zeros(g2, np.int64)
+                widths = np.zeros(g2, np.int64)
+                colowner = np.full(C, -1, np.int64)
+                colpos = np.zeros(C, np.int64)
+                for i, (s, t) in enumerate(batch):
+                    starts[i] = s
+                    widths[i] = t - s
+                    colowner[s:t] = i
+                    colpos[s:t] = np.arange(t - s)
+                V, seg_ok = _compiled_cluster_orth(n, C, g2, w2)(
+                    V, jnp.asarray(starts), jnp.asarray(widths),
+                    jnp.asarray(colowner), jnp.asarray(colpos))
+                # CholeskyQR failed (non-SPD Gram: columns the refinement
+                # could not separate) -> those segments kept their inputs;
+                # QR them explicitly
+                seg_ok_np = np.asarray(seg_ok[: nseg])
+                large = large + [seg for seg, ok in zip(batch, seg_ok_np)
+                                 if not ok]
 
     tpu_f64 = (jax.default_backend() == "tpu" and V.dtype == jnp.float64)
     for s, t in large:

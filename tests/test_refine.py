@@ -210,3 +210,54 @@ def test_cluster_orth_rank_deficient_fallback(rng):
     assert np.isfinite(out).all()
     blk = out[:, 20:23]
     assert np.abs(blk.T @ blk - np.eye(3)).max() < 1e-12
+
+
+def test_compiled_residuals_matches_reference(rng):
+    """The one-dispatch chunked residual pass (lax.map over column chunks,
+    with tail padding) must match per-chunk residual_norms exactly, including
+    a C that is not a chunk multiple."""
+    from symmetric_eigenvalue_tpu.core.tridiag import residual_norms
+    from symmetric_eigenvalue_tpu.driver import _compiled_residuals
+
+    n, C, chunk = 48, 21, 8          # K=3 chunks, 3-column padded tail
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    lam = rng.standard_normal(C)
+    V = rng.standard_normal((n, C))
+    ref = np.asarray(residual_norms(jnp.asarray(d), jnp.asarray(e),
+                                    jnp.asarray(lam), jnp.asarray(V)))
+    got = np.asarray(_compiled_residuals(n, C, chunk)(
+        jnp.asarray(d), jnp.asarray(e), jnp.asarray(lam), jnp.asarray(V)))
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=0.0)
+
+
+def test_cluster_orth_width_buckets(rng, monkeypatch):
+    """Mixed segment widths + a tiny per-dispatch budget: segments are
+    bucketed by padded width and chunked across several batched dispatches
+    (the flat pow2 grid over all segments OOM'd at n=16384 — 8.6 GB gather).
+    Every segment must still come back orthonormal spanning its subspace."""
+    import symmetric_eigenvalue_tpu.kernels.refine as refine
+
+    monkeypatch.setattr(refine, "_BATCH_BUDGET_BYTES", 8 * 128 * 8)
+    monkeypatch.setattr(refine, "_MIN_BUDGET_COLS", 8)
+
+    n = 128
+    lam = np.arange(n, dtype=float)
+    segs = [(4, 6), (10, 12), (20, 24), (30, 33), (40, 46), (60, 62),
+            (70, 82), (90, 92), (100, 104), (110, 112)]
+    V = _orthonormal(rng, n, n)
+    for s, t in segs:
+        lam[s:t] = lam[s]
+        V[:, s:t] += 1e-7 * rng.standard_normal((n, t - s))
+    out = np.asarray(refine.orthonormalize_clusters(
+        lam, jnp.asarray(V), norm_t=float(np.abs(lam).max())))
+    for s, t in segs:
+        blk = out[:, s:t]
+        assert np.abs(blk.T @ blk - np.eye(t - s)).max() < 1e-12, (s, t)
+        proj = blk @ (blk.T @ V[:, s:t])
+        assert np.abs(proj - V[:, s:t]).max() < 1e-6, (s, t)
+    # untouched columns pass through bit-identical
+    mask = np.ones(n, dtype=bool)
+    for s, t in segs:
+        mask[s:t] = False
+    assert np.array_equal(out[:, mask], V[:, mask])
