@@ -128,18 +128,46 @@ def main():
     if EIGVALS_ONLY or V is not None:
         lam_np = np.asarray(lam)
         result["lam_range"] = [float(lam_np[0]), float(lam_np[-1])]
+    # persist the timing measurement BEFORE the self-checks: a check-side
+    # ResourceExhausted cost queue5 the whole n=16384 artifact (the 479.8 s
+    # solve succeeded, nothing was written)
+    _write(result)
     if V is not None:
+        # drop the solver executables before the checks: the staged dense
+        # route holds donated 2.1 GB in/out aliases in its cached jits and
+        # the check OOM'd at n=16384 with A+V live on a 16 GB chip
+        jax.clear_caches()
         t0 = time.perf_counter()
         Adev = make_a(jax.random.PRNGKey(0))   # may have been donated
-        resid = dense_residual(Adev, lam, V)
-        orth = max_ortho_error(V)
-        result["max_residual"] = float(f"{resid:.3e}")
-        result["max_residual_over_normA"] = float(f"{resid / norm_a:.3e}")
-        result["max_orthogonality_error"] = float(f"{orth:.3e}")
-        result["residual_target_met"] = bool(resid <= 1e-12 * norm_a)
+        resid = orth = None
+        for attempt, (cc, rc) in enumerate(
+                [(2048, 4096), (1024, 2048), (512, 1024)]):
+            try:
+                resid = dense_residual(Adev, lam, V,
+                                       col_chunk=cc, row_chunk=rc)
+                break
+            except Exception as exc:   # noqa: BLE001 — record, shrink, retry
+                print(f"  residual check failed at chunks ({cc},{rc}): "
+                      f"{type(exc).__name__}: {exc}", flush=True)
+                result["residual_check_error"] = f"{type(exc).__name__}"
+                jax.clear_caches()
+        try:
+            orth = max_ortho_error(V)
+        except Exception as exc:       # noqa: BLE001
+            print(f"  ortho check failed: {type(exc).__name__}: {exc}",
+                  flush=True)
+            result["ortho_check_error"] = f"{type(exc).__name__}"
+        if resid is not None:
+            result.pop("residual_check_error", None)
+            result["max_residual"] = float(f"{resid:.3e}")
+            result["max_residual_over_normA"] = float(f"{resid / norm_a:.3e}")
+            result["residual_target_met"] = bool(resid <= 1e-12 * norm_a)
+        if orth is not None:
+            result["max_orthogonality_error"] = float(f"{orth:.3e}")
         result["check_s"] = round(time.perf_counter() - t0, 1)
-        print(f"  residual {resid:.3e} (= {resid/norm_a:.3e}*||A||) "
-              f"orth {orth:.3e}", flush=True)
+        print(f"  residual {resid} (/||A|| "
+              f"{resid / norm_a if resid is not None else None}) "
+              f"orth {orth}", flush=True)
 
     if HOST_BASELINE:
         A = np.asarray(Adev)
@@ -152,6 +180,11 @@ def main():
         result["vs_host_numpy"] = round(result["host_numpy_s"] /
                                         result["value"], 2)
 
+    _write(result)
+    print(json.dumps(result), flush=True)
+
+
+def _write(result):
     path = os.path.join(_HERE, "DENSE_EIGH.json")
     existing = {}
     if os.path.exists(path):
@@ -163,7 +196,6 @@ def main():
     existing[result["metric"]] = result
     with open(path, "w") as f:
         json.dump(existing, f, indent=1)
-    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
