@@ -401,6 +401,20 @@ def _compiled_wide_orth(n: int, w: int, tpu_f64: bool):
     return jax.jit(fn)
 
 
+def _gram_reduce(S):
+    """Per-segment Grams (nseg, w, w) of S (nseg, n, w) as ONE fused
+    broadcast-mul reduction.
+
+    For narrow segments (the bulk: width-2..8 buckets of the
+    orthonormalization band) this replaces the stacked dword cross-Gram:
+    XLA's emulated-f64 REDUCTIONS are accurate at any length (CLAUDE.md) —
+    only its matrix-matrix dot is ~1e-6-grade — and the fused reduce never
+    materializes the (nseg, n, w, w) product, so it is bandwidth-bound
+    (~5 ms) where the dword route cost ~0.14 s per dispatch (measured: the
+    wide band put ortho_mid at 0.75 s of the n=16384 headline)."""
+    return jnp.sum(S[:, :, :, None] * S[:, :, None, :], axis=1)
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
     """Batched CholeskyQR over every cluster segment in one dispatch.
@@ -425,6 +439,8 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
         Gram costs ~0.1 s at the clustered-bench shape."""
         if jax.default_backend() != "tpu" or S.dtype != jnp.float64:
             return jnp.einsum("bnw,bnv->bwv", S, S)
+        if wmax <= 8:
+            return _gram_reduce(S)
         from .pallas.dword_matmul import dword_matmul
         # group segments so the stacked width stays bounded (the full
         # cross-Gram is (g*wmax)^2 f64)

@@ -261,3 +261,14 @@ def test_cluster_orth_width_buckets(rng, monkeypatch):
     for s, t in segs:
         mask[s:t] = False
     assert np.array_equal(out[:, mask], V[:, mask])
+
+
+def test_gram_reduce_matches_einsum(rng):
+    """The fused-reduction Gram (TPU fast path for narrow segment buckets)
+    must match the einsum Gram to f64 precision."""
+    from symmetric_eigenvalue_tpu.kernels.refine import _gram_reduce
+
+    S = rng.standard_normal((5, 300, 4))
+    ref = np.einsum("bnw,bnv->bwv", S, S)
+    got = np.asarray(_gram_reduce(jnp.asarray(S)))
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-14)
