@@ -19,8 +19,9 @@ import os
 import sys
 import time
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+_CHECK_MODE = len(sys.argv) > 1 and sys.argv[1] == "--check"
+N = int(sys.argv[1]) if len(sys.argv) > 1 and not _CHECK_MODE else 16384
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 and not _CHECK_MODE else 1
 EIGVALS_ONLY = os.environ.get("DENSE_EIGVALS_ONLY", "0") == "1"
 HOST_BASELINE = os.environ.get("DENSE_BASELINE", "0") == "1"
 BAND = int(os.environ.get("DENSE_BAND", "0"))
@@ -79,20 +80,75 @@ def dense_residual(A, lam, V, col_chunk=2048, row_chunk=4096):
     return worst
 
 
-def main():
-    print(f"run_dense_eigh: n={N} platform={jax.devices()[0].platform} "
-          f"eigvals_only={EIGVALS_ONLY}", flush=True)
+def _make_a(n):
     # generate A ON DEVICE: a 2 GB host->device f64 transfer through the
     # tunneled platform takes many minutes, the jitted PRNG milliseconds
     @jax.jit
     def make_a(key):
-        G = jax.random.normal(key, (N, N), dtype=jnp.float64)
+        G = jax.random.normal(key, (n, n), dtype=jnp.float64)
         # O(1)-scaled entries (the dword kernels' documented precondition)
-        return (G + G.T) / (2.0 * np.sqrt(N))
+        return (G + G.T) / (2.0 * np.sqrt(n))
+    return make_a
+
+
+def check_main(lam_path, v_path, n, metric):
+    """Fresh-process checker: the full residual/ortho self-checks OOM'd
+    in the solver process at n=16384 even at the smallest chunking (queue7)
+    — post-solve HBM fragmentation; a clean process holds only A+V+lam
+    (~4.3 GB on a 16 GB chip).  Regenerates A (same PRNGKey(0) recipe),
+    loads the persisted eigenpairs, merges check fields into DENSE_EIGH."""
+    print(f"check_main: n={n} metric={metric}", flush=True)
+    make_a = _make_a(n)
+    Adev = make_a(jax.random.PRNGKey(0))
+    norm_a = float(jax.jit(
+        lambda A: jnp.max(jnp.sum(jnp.abs(A), axis=1)))(Adev))
+    lam = jnp.asarray(np.load(lam_path))
+    t0 = time.perf_counter()
+    V = jnp.asarray(np.load(v_path))   # 2.1 GB upload: slow but bounded
+    jax.block_until_ready(V)
+    print(f"  V upload: {time.perf_counter()-t0:.1f}s", flush=True)
+    result = {"metric": metric, "checked_in_fresh_process": True}
+    t0 = time.perf_counter()
+    resid = orth = None
+    for cc, rc in [(2048, 4096), (1024, 2048), (512, 1024)]:
+        try:
+            resid = dense_residual(Adev, lam, V, col_chunk=cc, row_chunk=rc)
+            break
+        except Exception as exc:   # noqa: BLE001 — record, shrink, retry
+            print(f"  residual check failed at chunks ({cc},{rc}): "
+                  f"{type(exc).__name__}: {exc}", flush=True)
+            result["residual_check_error"] = f"{type(exc).__name__}"
+            jax.clear_caches()
+    try:
+        orth = max_ortho_error(V)
+    except Exception as exc:       # noqa: BLE001
+        print(f"  ortho check failed: {type(exc).__name__}: {exc}",
+              flush=True)
+        result["ortho_check_error"] = f"{type(exc).__name__}"
+    if resid is not None:
+        result.pop("residual_check_error", None)
+        result["max_residual"] = float(f"{resid:.3e}")
+        result["max_residual_over_normA"] = float(f"{resid / norm_a:.3e}")
+        result["residual_target_met"] = bool(resid <= 1e-12 * norm_a)
+    if orth is not None:
+        result["max_orthogonality_error"] = float(f"{orth:.3e}")
+    result["check_s"] = round(time.perf_counter() - t0, 1)
+    print(f"  residual {resid} (/||A|| "
+          f"{resid / norm_a if resid is not None else None}) orth {orth}",
+          flush=True)
+    _merge(metric, result)
+    print(json.dumps(result), flush=True)
+
+
+def main():
+    print(f"run_dense_eigh: n={N} platform={jax.devices()[0].platform} "
+          f"eigvals_only={EIGVALS_ONLY}", flush=True)
+    make_a = _make_a(N)
 
     Adev = make_a(jax.random.PRNGKey(0))
     norm_a = float(jax.jit(
         lambda A: jnp.max(jnp.sum(jnp.abs(A), axis=1)))(Adev))
+    tr = float(jax.jit(lambda A: jnp.sum(jnp.diag(A)))(Adev))
     cfg = SolverConfig()
     A = None   # host copy only materialized for the optional baseline
     times = []
@@ -128,6 +184,12 @@ def main():
     if EIGVALS_ONLY or V is not None:
         lam_np = np.asarray(lam)
         result["lam_range"] = [float(lam_np[0]), float(lam_np[-1])]
+        # O(n) trace self-check, immune to the OOM class that can kill the
+        # O(n^2)-memory checks below: sum(lam) = trace(A) exactly in exact
+        # arithmetic; backward-stable solves keep it to ~n*u*||A||-grade
+        terr = abs(lam_np.sum() - tr) / max(norm_a * N, 1e-300)
+        result["trace_error_over_n_normA"] = float(f"{terr:.3e}")
+        result["trace_check_met"] = bool(terr <= 1e-13)
     # persist the timing measurement BEFORE the self-checks: a check-side
     # ResourceExhausted cost queue5 the whole n=16384 artifact (the 479.8 s
     # solve succeeded, nothing was written)
@@ -168,6 +230,33 @@ def main():
         print(f"  residual {resid} (/||A|| "
               f"{resid / norm_a if resid is not None else None}) "
               f"orth {orth}", flush=True)
+        if resid is None or orth is None:
+            # post-solve HBM fragmentation can OOM even the 512-col chunk
+            # (observed queue7 n=16384): persist the eigenpairs and re-run
+            # the checks in a FRESH process with a clean heap
+            import subprocess
+            lam_path = "/tmp/dense_eigh_lam.npy"
+            v_path = "/tmp/dense_eigh_V.npy"
+            t0 = time.perf_counter()
+            np.save(lam_path, np.asarray(lam))
+            np.save(v_path, np.asarray(V))      # 2.1 GB tunnel fetch: slow
+            print(f"  persisted eigenpairs in {time.perf_counter()-t0:.1f}s;"
+                  " spawning fresh-process checker", flush=True)
+            _write(result)
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--check",
+                 lam_path, v_path, str(N), result["metric"]],
+                env=dict(os.environ)).returncode
+            print(f"  fresh-process checker rc={rc}", flush=True)
+            for p in (lam_path, v_path):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            with open(os.path.join(_HERE, "DENSE_EIGH.json")) as f:
+                result = json.load(f)[result["metric"]]
+            print(json.dumps(result), flush=True)
+            return
 
     if HOST_BASELINE:
         A = np.asarray(Adev)
@@ -198,5 +287,27 @@ def _write(result):
         json.dump(existing, f, indent=1)
 
 
+def _merge(metric, fields):
+    """Merge check fields into an existing artifact entry (fresh-process
+    checker must not clobber the solver-recorded timing)."""
+    path = os.path.join(_HERE, "DENSE_EIGH.json")
+    existing = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except Exception:
+            existing = {}
+    entry = existing.setdefault(metric, {})
+    for k in ("residual_check_error", "ortho_check_error"):
+        entry.pop(k, None)
+    entry.update(fields)
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=1)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--check":
+        check_main(sys.argv[2], sys.argv[3], int(sys.argv[4]), sys.argv[5])
+    else:
+        main()
