@@ -74,6 +74,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU on this 1-core host segfaults inside backend_compile partway
+    through a ONE-PROCESS full-suite run (reproduced 2026-08-18 twice and
+    2026-08-19 at tests/test_solver.py::test_staged_profile_subphases; the
+    very same compile succeeds in a fresh process — an accumulation effect
+    in the CPU client, not a bad test).  Dropping every live executable
+    between modules keeps the per-process accumulation bounded at roughly
+    one module's worth, which is the per-file regime tools/run_tests.sh
+    already proved stable.  Costs recompiles of the handful of lru-cached
+    solvers shared across modules."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
