@@ -271,7 +271,7 @@ def run_config(n, seed, matrix, vectors, reps, baseline_cap=None):
     return out
 
 
-def run_extras(results):
+def run_extras(results, headline=None):
     """The non-headline BASELINE.md configs, recorded to BENCH_EXTRA.json.
 
     Incremental writes: a crash or budget stop still leaves every completed
@@ -304,17 +304,24 @@ def run_extras(results):
                 results["configs"].append(r)
                 break
             except Exception as exc:   # noqa: BLE001 — extras are best-effort
+                # TRUNCATE: an XLA OOM repr can be tens of KB; round 3 lost
+                # its driver-captured headline to exactly this spam
+                msg = repr(exc)[:300]
                 log(f"extras: config n={n} {matrix} failed"
-                    f" (attempt {attempt + 1}): {exc!r}")
+                    f" (attempt {attempt + 1}): {msg}")
                 if attempt == 1 or time.perf_counter() - _T_START > BUDGET:
                     results["errors"] = results.get("errors", []) + [
-                        {"config": f"n{n}_{matrix}", "error": repr(exc)}]
+                        {"config": f"n{n}_{matrix}", "error": msg}]
                     break
         try:
             with open(EXTRA_PATH, "w") as f:
                 json.dump(results, f, indent=1)
         except Exception:
             pass
+        if headline is not None:
+            # keep the headline the most recent stdout JSON line even if an
+            # external timeout kills the process during the NEXT config
+            print(json.dumps(headline), flush=True)
 
 
 def _backend_init_watchdog(timeout_s):
@@ -364,13 +371,22 @@ def main():
     # BENCH_EXTRA.json, so this stays the last stdout JSON line even if the
     # extras pass crashes or an external timeout kills the process mid-extras
     print(json.dumps(headline), flush=True)
+    try:   # belt-and-braces: persist the headline for the judge regardless
+        with open(os.path.join(_HERE, "BENCH_HEADLINE.json"), "w") as f:
+            json.dump(headline, f, indent=1)
+    except Exception:
+        pass
     if EXTRA:
         results = {"headline_metric": headline["metric"],
                    "host": _host_key(), "configs": []}
         try:
-            run_extras(results)
+            run_extras(results, headline=headline)
         except Exception as exc:       # noqa: BLE001
-            log(f"extras pass failed: {exc!r}")
+            log(f"extras pass failed: {repr(exc)[:300]}")
+        # re-print the headline as the process's FINAL stdout line: a driver
+        # that tails merged output must always see it even if extras spewed
+        # error text after the first print (round-3 BENCH_r03 parsed:null)
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

@@ -159,6 +159,26 @@ class SolverConfig:
     #   threshold is 8192 there and unlimited elsewhere.
     single_jit_max_n: Optional[int] = None
 
+    def resolved_refine_chunk(self, n: int) -> int:
+        """Byte-budgeted refinement column chunk.
+
+        The Spike solver + measured-residual passes peak ~200 bytes per
+        (row, column) element (LU factors + transformed rhs + X64Split f32
+        halves).  During the first pass the f32 downsweep output (4 bytes/
+        elem) AND the accumulating f64 refined columns (8 bytes/elem) are
+        both live, so the real peak is 12*n^2 + 200*n*chunk.  A fixed
+        refine_chunk=2048 OOM'd the 16 GB chip at n=32768 (round-3
+        BENCH_EXTRA: ~20 x 256 MB f32[32768,2048] X64Split temps).  Budget
+        against ~14.5 GB usable HBM, floored at 256 and capped at the
+        configured refine_chunk — n<=16384 keeps chunk 2048 (measured-good),
+        n=32768 resolves to 256."""
+        budget = 14.5e9 - 12.0 * float(n) * float(n)
+        cols = int(budget / (200.0 * max(n, 1)))
+        chunk = 256
+        while chunk * 2 <= cols and chunk * 2 <= self.refine_chunk:
+            chunk *= 2
+        return min(chunk, self.refine_chunk)
+
     def resolved_single_jit_max_n(self) -> int:
         if self.single_jit_max_n is not None:
             return int(self.single_jit_max_n)

@@ -431,7 +431,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     lam_sel = lam[sel]
     C = int(sel.shape[0])
     n = int(d.shape[0])
-    chunk = max(1, min(config.vec_chunk, config.refine_chunk))
+    chunk = max(1, min(config.vec_chunk, config.resolved_refine_chunk(n)))
     # Pallas Spike path (TPU): the whole pass runs in VMEM kernels with the
     # dstein residual ||v||/||x|| for free, replacing both the XLA scans'
     # dispatch latency and the explicit residual matvec passes.
