@@ -322,6 +322,30 @@ def run_extras(results, headline=None):
             # keep the headline the most recent stdout JSON line even if an
             # external timeout kills the process during the NEXT config
             print(json.dumps(headline), flush=True)
+    _run_pallas_checks()
+
+
+def _run_pallas_checks():
+    """Regenerate PALLAS_TPU.json (on-hardware Pallas kernel validation) as
+    part of every bench round instead of a manual queue job (VERDICT r3 #8).
+    In-process: a subprocess would collide with this process's live client on
+    the single-tenant tunneled chip."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return
+    if time.perf_counter() - _T_START > BUDGET:
+        log("pallas checks: budget exhausted; skipping")
+        return
+    try:
+        import importlib.util
+        script = os.path.join(_HERE, "tools", "check_pallas_on_tpu.py")
+        spec = importlib.util.spec_from_file_location("_pallas_checks", script)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = mod.run_all(write=True)
+        log(f"pallas checks: ok={out['ok']}")
+    except Exception as exc:   # noqa: BLE001 — best-effort artifact
+        log(f"pallas checks failed: {repr(exc)[:300]}")
 
 
 def _backend_init_watchdog(timeout_s):

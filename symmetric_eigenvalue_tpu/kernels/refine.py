@@ -12,6 +12,8 @@ shifts, plus dstein-style cluster re-orthonormalization handled by the driver.
 from __future__ import annotations
 
 import functools
+import os
+import time as _time
 
 import jax
 import jax.numpy as jnp
@@ -171,8 +173,14 @@ def _block_lu_solve(db, eb, lam, rhs, tiny):
         sub, d_j, c_j, rn = inp
         return fwd(carry, (sub, d_j - lam[None, :], c_j, rn))
 
+    # unroll: the scan body is a handful of fused elementwise kernels, and
+    # on TPU each in-jit kernel launch costs ~0.1 ms regardless of operand
+    # size (CLAUDE.md) — at nb=96 / K=1 (the risky-column extra pass) the
+    # solve was ~0.2 s of pure launch latency.  Unrolling fuses 8 rows per
+    # launch; the arithmetic is identical (no reassociation across rows —
+    # every step's ops still depend sequentially on the carry).
     (a_f, _, r_f), (ud, u1, u2, rr) = lax.scan(
-        fwd_wrap, (a0, c0, r0), (subs, d_rows, c_rows, r_next))
+        fwd_wrap, (a0, c0, r0), (subs, d_rows, c_rows, r_next), unroll=8)
 
     x_last = r_f / clamp_piv(a_f)[:, None, :]
 
@@ -186,7 +194,7 @@ def _block_lu_solve(db, eb, lam, rhs, tiny):
 
     x_last = jnp.clip(x_last, -big, big)
     (_, _), xs = lax.scan(bwd, (x_last, jnp.zeros_like(x_last)),
-                          (ud, u1, u2, rr), reverse=True)
+                          (ud, u1, u2, rr), reverse=True, unroll=8)
     xs = jnp.concatenate([xs, x_last[None]], axis=0)    # (nb, P, R, K)
     return jnp.moveaxis(xs, 0, 1)                       # (P, nb, R, K)
 
@@ -303,9 +311,11 @@ def interface_solve(pf, pl_, qf, ql, uf, ul):
         return ((g11n, z, g21n, z, h1n, h2n), (g11n, g21n, h1n, h2n))
 
     z0 = jnp.zeros((K,), dtype)
+    # unroll=8: same launch-latency amortization as _block_lu_solve — the
+    # interface scan runs P = n/nb sequential 2x2 steps
     (_, (G11, G21, H1, H2)) = lax.scan(
         fwd, (z0, z0, z0, z0, z0, z0),
-        (pf, pl_, qf, ql, uf, ul))
+        (pf, pl_, qf, ql, uf, ul), unroll=8)
 
     def bwd(carry, inp):
         f_next = carry                      # F_{b+1}
@@ -315,7 +325,8 @@ def interface_solve(pf, pl_, qf, ql, uf, ul):
         L_b = h2_b - g21_b * f_next
         return F_b, (F_b, L_b)
 
-    _, (F, L) = lax.scan(bwd, z0, (G11, G21, H1, H2), reverse=True)
+    _, (F, L) = lax.scan(bwd, z0, (G11, G21, H1, H2), reverse=True,
+                         unroll=8)
     return F, L
 
 
@@ -416,13 +427,23 @@ def _gram_reduce(S):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
+def _compiled_cluster_orth(n: int, nseg: int, wmax: int):
     """Batched CholeskyQR over every cluster segment in one dispatch.
 
     After refinement the cluster columns are near-orthonormal (Gram = I+eps),
     so cond(S)~1 and a single CholeskyQR reaches working-precision
     orthogonality — no per-segment QR dispatches.  Pad columns carry an
-    identity Gram block and pass through untouched."""
+    identity Gram block and pass through untouched.
+
+    COMPUTE-ONLY: returns the orthonormalized columns as a compact
+    (n, nseg*wmax) block plus per-segment acceptance flags; the caller
+    merges every bucket's output into V in ONE deferred writeback.  The
+    previous per-dispatch ``jnp.where`` writeback re-read and re-wrote the
+    full (n, C) f64 V (2.1 GB at n=16384) and materialized a (C, n)
+    replacement gather EVERY dispatch — ~6 GB of HBM traffic per bucket —
+    and the per-dispatch ``np.asarray(seg_ok)`` fetch added a ~33 ms
+    tunnel round-trip each; together they were most of the 0.59 s
+    ortho_mid phase of the n=16384 headline."""
 
     def gram(S):
         """Per-segment Grams (nseg, wmax, wmax) from S (nseg, n, wmax).
@@ -453,10 +474,10 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
             outs.append(Gf[jnp.arange(g), :, jnp.arange(g), :])
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
-    def fn(V, starts, widths, colowner, colpos):
+    def fn(V, starts, widths):
         cols = starts[:, None] + jnp.arange(wmax)[None, :]       # (nseg, wmax)
         colmask = jnp.arange(wmax)[None, :] < widths[:, None]
-        cols_safe = jnp.clip(cols, 0, C - 1)
+        cols_safe = jnp.clip(cols, 0, V.shape[1] - 1)
         S = V[:, cols_safe]                   # (n, nseg, wmax)
         S = jnp.moveaxis(S, 0, 1) * colmask[:, None, :]
         G = gram(S)
@@ -478,13 +499,26 @@ def _compiled_cluster_orth(n: int, C: int, nseg: int, wmax: int):
         err = jnp.max(jnp.sum(jnp.abs(
             G - jnp.eye(wmax, dtype=V.dtype)[None]), axis=2), axis=1)
         seg_ok = jnp.all(jnp.isfinite(Y), axis=(1, 2)) & (err < 0.1)
-        # scatter back: column j of V <- Y[colowner[j], :, colpos[j]]
-        own = jnp.maximum(colowner, 0)
-        repl = Y[own, :, colpos]              # (C, n)
-        use = (colowner >= 0) & seg_ok[own]
-        return jnp.where(use[None, :], repl.T, V), seg_ok
+        Yflat = jnp.moveaxis(Y, 0, 1).reshape(n, nseg * wmax)
+        return Yflat, seg_ok
 
-    return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_orth_writeback(n: int, nparts: int):
+    """ONE full-V merge of every orth bucket's compact output.
+
+    ``Ys`` are the buckets' (n, g2*w2) blocks; ``srcpos[j]`` indexes column
+    j's replacement inside their concatenation, ``mask[j]`` selects the
+    accepted columns.  Single gather + select pass over V — the only
+    full-width traffic of the whole orthonormalization."""
+
+    def fn(V, Ys, mask, srcpos):
+        Ycat = jnp.concatenate(Ys, axis=1) if len(Ys) > 1 else Ys[0]
+        return jnp.where(mask[None, :], Ycat[:, srcpos], V)
+
+    return jax.jit(fn, donate_argnums=(0, 1))
 
 
 def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
@@ -558,6 +592,12 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
             w2 = 1 << (t - s - 1).bit_length() if t - s > 1 else 1
             buckets.setdefault(max(w2, 2), []).append((s, t))
         budget_cols = max(_MIN_BUDGET_COLS, _BATCH_BUDGET_BYTES // (8 * n))
+        prof_ortho = os.environ.get("SE_PROFILE_ORTHO") == "1"
+        t_prof = _time.perf_counter() if prof_ortho else 0.0
+        # Phase 1: queue every bucket's compute-only CholeskyQR (async); keep
+        # the compact outputs + host metadata.  No full-V traffic here.
+        Yflats, seg_oks, metas = [], [], []
+        off = 0
         for w2, segs_w in sorted(buckets.items()):
             gcap = max(1, budget_cols // w2)
             for o in range(0, len(segs_w), gcap):
@@ -566,22 +606,53 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
                 g2 = 1 << (nseg - 1).bit_length() if nseg > 1 else 1
                 starts = np.zeros(g2, np.int64)
                 widths = np.zeros(g2, np.int64)
-                colowner = np.full(C, -1, np.int64)
-                colpos = np.zeros(C, np.int64)
                 for i, (s, t) in enumerate(batch):
                     starts[i] = s
                     widths[i] = t - s
-                    colowner[s:t] = i
-                    colpos[s:t] = np.arange(t - s)
-                V, seg_ok = _compiled_cluster_orth(n, C, g2, w2)(
-                    V, jnp.asarray(starts), jnp.asarray(widths),
-                    jnp.asarray(colowner), jnp.asarray(colpos))
-                # CholeskyQR failed (non-SPD Gram: columns the refinement
-                # could not separate) -> those segments kept their inputs;
-                # QR them explicitly
-                seg_ok_np = np.asarray(seg_ok[: nseg])
-                large = large + [seg for seg, ok in zip(batch, seg_ok_np)
-                                 if not ok]
+                Yf, seg_ok = _compiled_cluster_orth(n, g2, w2)(
+                    V, jnp.asarray(starts), jnp.asarray(widths))
+                if prof_ortho:
+                    Yf.block_until_ready()
+                    _ = np.asarray(seg_ok[:1])   # tunnel: force completion
+                    print(f"    [ortho] bucket w2={w2} nseg={nseg} g2={g2}"
+                          f" wall={_time.perf_counter()-t_prof:.3f}s",
+                          flush=True)
+                    t_prof = _time.perf_counter()
+                Yflats.append(Yf)
+                seg_oks.append(seg_ok[:nseg])
+                metas.append((batch, off, w2))
+                off += g2 * w2
+        # Phase 2: ONE seg_ok fetch for every dispatch (each np.asarray is a
+        # ~33 ms tunnel round-trip; batching them was worth ~0.1 s/phase).
+        ok_all = np.asarray(jnp.concatenate(seg_oks)) if seg_oks else \
+            np.zeros(0, bool)
+        if prof_ortho:
+            print(f"    [ortho] seg_ok fetch ({len(metas)} dispatches)"
+                  f" wall={_time.perf_counter()-t_prof:.3f}s", flush=True)
+            t_prof = _time.perf_counter()
+        # Phase 3: build the column->source map on host and merge everything
+        # into V in one writeback.  CholeskyQR failures (non-SPD Gram:
+        # columns the refinement could not separate) keep their inputs and
+        # fall through to the explicit-QR path.
+        mask = np.zeros(C, bool)
+        srcpos = np.zeros(C, np.int64)
+        k = 0
+        for batch, base, w2 in metas:
+            for i, (s, t) in enumerate(batch):
+                if ok_all[k]:
+                    mask[s:t] = True
+                    srcpos[s:t] = base + i * w2 + np.arange(t - s)
+                else:
+                    large.append((s, t))
+                k += 1
+        if mask.any():
+            V = _compiled_orth_writeback(n, len(Yflats))(
+                V, Yflats, jnp.asarray(mask), jnp.asarray(srcpos))
+        if prof_ortho:
+            V.block_until_ready()
+            _ = np.asarray(V[:1, :1])
+            print(f"    [ortho] writeback wall="
+                  f"{_time.perf_counter()-t_prof:.3f}s", flush=True)
 
     tpu_f64 = (jax.default_backend() == "tpu" and V.dtype == jnp.float64)
     for s, t in large:

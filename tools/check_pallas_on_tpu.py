@@ -241,10 +241,11 @@ def check_spike_solve(n=4096, K=2048, seed=0):
     return ratio, r_est
 
 
-if __name__ == "__main__":
-    if jax.default_backend() != "tpu":
-        print(f"backend is {jax.default_backend()}, not tpu — aborting")
-        sys.exit(1)
+def run_all(write: bool = True) -> dict:
+    """Run every on-hardware kernel check; optionally write PALLAS_TPU.json.
+
+    Callable in-process (bench.py's extras pass regenerates the artifact each
+    round — VERDICT r3 #8) as well as from the CLI below."""
     r1 = check_cauchy()
     r1b = check_cauchy(m=64, C=2048, seed=1)   # small-m full-tile path
     r2 = check_dword_matvec()
@@ -279,8 +280,17 @@ if __name__ == "__main__":
         },
         "ok": bool(ok),
     }
-    with open(os.path.join(os.path.dirname(__file__), "..",
-                           "PALLAS_TPU.json"), "w") as f:
-        json.dump(out, f, indent=1)
-    print("OK" if ok else "FAIL")
+    if write:
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "PALLAS_TPU.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
+if __name__ == "__main__":
+    if jax.default_backend() != "tpu":
+        print(f"backend is {jax.default_backend()}, not tpu — aborting")
+        sys.exit(1)
+    out = run_all()
+    print("OK" if out["ok"] else "FAIL")
     sys.exit(0 if ok else 1)
