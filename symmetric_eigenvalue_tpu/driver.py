@@ -415,6 +415,47 @@ def _compiled_refine(n: int, ncols: int, config: SolverConfig, nb: int):
     return jax.jit(fn, donate_argnums=(3,))
 
 
+def _refine_ops(d, e, n: int, C: int, config: SolverConfig):
+    """The two building blocks of the refinement epilogue, shared by the
+    staged path (`_refine_vectors`) and the fused small-n backtransform.
+
+    one_pass: one inverse-iteration pass — the Pallas Spike path on TPU
+    (whole pass in VMEM kernels with the dstein residual ||v||/||x|| for
+    free) or column-chunked XLA solves; returns (V, res_estimate or None).
+    SE_FORCE_SPIKE=1: tests substitute a fake spike_refine on CPU to
+    exercise the estimate-honesty / rescue machinery end-to-end.
+
+    residuals_chunked: MEASURED residual norms, all chunks in one dispatch
+    + one host fetch."""
+    chunk = max(1, min(config.vec_chunk, config.resolved_refine_chunk(n)))
+    use_spike = (config.use_pallas_refine and n >= 512
+                 and (jax.default_backend() == "tpu"
+                      or os.environ.get("SE_FORCE_SPIKE") == "1"))
+
+    def one_pass(lam_c, V_c, nb, allow_spike=True):
+        if use_spike and allow_spike:
+            from .kernels.pallas.spike_solve import spike_refine
+            return spike_refine(d, e, lam_c, V_c, nb=nb, chunk=chunk)
+        nc = int(lam_c.shape[0])
+        if nc <= chunk:
+            return _compiled_refine(n, nc, config, nb)(d, e, lam_c, V_c), None
+        parts = []
+        for o in range(0, nc, chunk):
+            w = min(chunk, nc - o)
+            parts.append(_compiled_refine(n, w, config, nb)(
+                d, e, lam_c[o:o + w], V_c[:, o:o + w]))
+        return jnp.concatenate(parts, axis=1), None
+
+    def residuals_chunked(lam_c, V_c):
+        # one dispatch for ALL chunks (see _compiled_residuals) + one fetch
+        nc = int(lam_c.shape[0])
+        if nc <= chunk:
+            return np.asarray(_residual_norms_jit(d, e, lam_c, V_c))
+        return np.asarray(_compiled_residuals(n, nc, chunk)(d, e, lam_c, V_c))
+
+    return one_pass, residuals_chunked
+
+
 def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     """Mixed-precision epilogue: one f64 inverse-iteration pass restores
     working-precision residuals from the f32 downsweep; clusters that inverse
@@ -431,30 +472,7 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     lam_sel = lam[sel]
     C = int(sel.shape[0])
     n = int(d.shape[0])
-    chunk = max(1, min(config.vec_chunk, config.resolved_refine_chunk(n)))
-    # Pallas Spike path (TPU): the whole pass runs in VMEM kernels with the
-    # dstein residual ||v||/||x|| for free, replacing both the XLA scans'
-    # dispatch latency and the explicit residual matvec passes.
-    # SE_FORCE_SPIKE=1: tests substitute a fake spike_refine on CPU to
-    # exercise the estimate-honesty / rescue machinery end-to-end
-    use_spike = (config.use_pallas_refine and n >= 512
-                 and (jax.default_backend() == "tpu"
-                      or os.environ.get("SE_FORCE_SPIKE") == "1"))
-
-    def one_pass(lam_c, V_c, nb, allow_spike=True):
-        """One refinement pass; returns (V, res_estimate or None)."""
-        if use_spike and allow_spike:
-            from .kernels.pallas.spike_solve import spike_refine
-            return spike_refine(d, e, lam_c, V_c, nb=nb, chunk=chunk)
-        nc = int(lam_c.shape[0])
-        if nc <= chunk:
-            return _compiled_refine(n, nc, config, nb)(d, e, lam_c, V_c), None
-        parts = []
-        for o in range(0, nc, chunk):
-            w = min(chunk, nc - o)
-            parts.append(_compiled_refine(n, w, config, nb)(
-                d, e, lam_c[o:o + w], V_c[:, o:o + w]))
-        return jnp.concatenate(parts, axis=1), None
+    one_pass, residuals_chunked = _refine_ops(d, e, n, C, config)
 
     # first inverse-iteration pass over everything
     with subtimer.phase("refine_pass1"):
@@ -464,12 +482,6 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
 
     norm_t = float(jnp.max(jnp.abs(lam)))
     lam_np = np.asarray(lam_sel)
-    def residuals_chunked(lam_c, V_c):
-        # one dispatch for ALL chunks (see _compiled_residuals) + one fetch
-        nc = int(lam_c.shape[0])
-        if nc <= chunk:
-            return np.asarray(_residual_norms_jit(d, e, lam_c, V_c))
-        return np.asarray(_compiled_residuals(n, nc, chunk)(d, e, lam_c, V_c))
 
     did_triage = config.refine_steps > 1 and C > 1
     touched = np.zeros(C, dtype=bool)
@@ -510,95 +522,9 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
             res1 = residuals_chunked(lam_sel, V)
             sentinel = (np.asarray(res1_dev) > 1e29) \
                 if res1_dev is not None else np.zeros(C, dtype=bool)
-        thr_res = config.refine_residual_factor * config.eps() * \
-            max(norm_t, 1e-30)
-        risky = (res1 > thr_res) | sentinel
-        idx = np.nonzero(risky)[0]
-        if prof:
-            print(f"  [profile] risky columns: {idx.size} "
-                  f"(residual-flagged {int((res1 > thr_res).sum())}, "
-                  f"clip-sentinel {int(sentinel.sum())})",
-                  flush=True)
-        if idx.size:
-            # pad to a power-of-two bucket to bound recompilations
-            b = 1
-            while b < idx.size:
-                b *= 2
-            idx_p = np.concatenate([idx, np.zeros(b - idx.size, np.int64)])
-            idx_j = jnp.asarray(idx_p)
-            with subtimer.phase("refine_extra"):
-                Vr = V[:, idx_j]
-                lam_r = lam_sel[idx_j]
-                # XLA solver by default (use_pallas_refine_extra=False): the
-                # bucket is narrow so its scan latency is small, and its
-                # emulated-f64 arithmetic leaves less mixing/residual on the
-                # resonant and tight-gap columns this pass targets than the
-                # pair kernel (SolverConfig docstring has the measurements)
-                for _ in range(config.refine_steps - 1):
-                    Vr, _unused = one_pass(
-                        lam_r, Vr, config.refine_block_alt,
-                        allow_spike=config.use_pallas_refine_extra)
-                # keep the BETTER of pre/post-pass per column — by MEASURED
-                # residual (bucket-sized matvec, cheap): a column resonant
-                # with the alternate block size gets *degraded* by the extra
-                # pass (observed: Poisson columns at ~k*(alt_nb+1)
-                # block-eigenvalue spacings), so the pass must never be
-                # allowed to lose ground
-                res_b = residuals_chunked(lam_r, Vr)
-                improved = np.zeros(C, dtype=bool)
-                improved[idx] = res_b[: idx.size] < res1[idx]
-                keep = risky & improved
-                touched |= keep
-                # write back with gather+select: any large scatter busts the
-                # TPU's 16MB scoped-VMEM limit in either orientation
-                srcpos = np.zeros(C, np.int64)
-                srcpos[idx] = np.arange(idx.size)
-                V = jax.jit(
-                    lambda V, Vr, mask, sp: jnp.where(mask[None, :],
-                                                      Vr[:, sp], V))(
-                    V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
-                if prof:
-                    _sync(V)
-            # Measured-residual rescue: columns whose BOTH spike passes
-            # failed the threshold (e.g. the pair-arithmetic back-substitution
-            # cascade hit the +-2^80 clip at both block sizes — the kernel
-            # flags those with a 1e30 estimate) get XLA-path passes at a
-            # third block size, accepted only on an EXPLICIT residual
-            # measurement.  Rare (0-10 columns), so the extra matvec pass is
-            # cheap; guarantees no column ever ends worse than its best
-            # attempt.
-            res_after = res1.copy()
-            if idx.size:
-                res_after[idx] = np.where(improved[idx], res_b[: idx.size],
-                                          res1[idx])
-            still = np.nonzero(risky & (res_after > thr_res))[0]
-            if still.size:
-                b2 = 1
-                while b2 < still.size:
-                    b2 *= 2
-                st_p = np.concatenate(
-                    [still, np.zeros(b2 - still.size, np.int64)])
-                st_j = jnp.asarray(st_p)
-                with subtimer.phase("refine_rescue"):
-                    Vr2 = V[:, st_j]
-                    lam_r2 = lam_sel[st_j]
-                    for _ in range(2):
-                        Vr2 = _compiled_refine(
-                            n, b2, config, config.refine_block_rescue)(
-                            d, e, lam_r2, Vr2)
-                    res2 = residuals_chunked(lam_r2, Vr2)
-                    improved2 = np.zeros(C, dtype=bool)
-                    improved2[still] = res2[: still.size] < res_after[still]
-                    touched |= improved2
-                    srcpos2 = np.zeros(C, np.int64)
-                    srcpos2[still] = np.arange(still.size)
-                    V = jax.jit(
-                        lambda V, Vr, mask, sp: jnp.where(mask[None, :],
-                                                          Vr[:, sp], V))(
-                        V, Vr2, jnp.asarray(improved2), jnp.asarray(srcpos2))
-                    if prof:
-                        _sync(V)
-
+        V, touched = _triage_passes(d, e, lam_sel, V, res1, sentinel, norm_t,
+                                    config, one_pass, residuals_chunked,
+                                    subtimer, prof)
     # final cleanup.  After the triage pipeline only two kinds of segment can
     # still be non-orthonormal: genuinely degenerate clusters (every gap below
     # cluster_gap_factor*||T|| — the mid pass deliberately skipped them) and
@@ -619,6 +545,259 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
                                         gap_factor=config.ortho_gap_factor)
         if prof:
             _sync(V)
+    return V
+
+
+def _triage_passes(d, e, lam_sel, V, res1, sentinel, norm_t,
+                   config: SolverConfig, one_pass, residuals_chunked,
+                   subtimer, prof):
+    """Residual triage + extra/rescue refinement passes (shared by the
+    staged epilogue and the fused small-n backtransform).
+
+    Flags columns whose MEASURED residual exceeds the threshold (or whose
+    spike estimate hit the 1e30 clip sentinel), gives them extra passes at
+    alternate block sizes, and accepts a re-solve only when the measured
+    residual improves — no column ever ends worse than its best attempt.
+    Returns (V, touched) where touched marks columns actually replaced."""
+    from .utils.timing import sync as _sync
+    n = int(d.shape[0])
+    C = int(lam_sel.shape[0])
+    touched = np.zeros(C, dtype=bool)
+    thr_res = config.refine_residual_factor * config.eps() * \
+        max(norm_t, 1e-30)
+    risky = (res1 > thr_res) | sentinel
+    idx = np.nonzero(risky)[0]
+    if prof:
+        print(f"  [profile] risky columns: {idx.size} "
+              f"(residual-flagged {int((res1 > thr_res).sum())}, "
+              f"clip-sentinel {int(sentinel.sum())})",
+              flush=True)
+    if idx.size:
+        # pad to a power-of-two bucket to bound recompilations
+        b = 1
+        while b < idx.size:
+            b *= 2
+        idx_p = np.concatenate([idx, np.zeros(b - idx.size, np.int64)])
+        idx_j = jnp.asarray(idx_p)
+        with subtimer.phase("refine_extra"):
+            Vr = V[:, idx_j]
+            lam_r = lam_sel[idx_j]
+            # XLA solver by default (use_pallas_refine_extra=False): the
+            # bucket is narrow so its scan latency is small, and its
+            # emulated-f64 arithmetic leaves less mixing/residual on the
+            # resonant and tight-gap columns this pass targets than the
+            # pair kernel (SolverConfig docstring has the measurements)
+            for _ in range(config.refine_steps - 1):
+                Vr, _unused = one_pass(
+                    lam_r, Vr, config.refine_block_alt,
+                    allow_spike=config.use_pallas_refine_extra)
+            # keep the BETTER of pre/post-pass per column — by MEASURED
+            # residual (bucket-sized matvec, cheap): a column resonant
+            # with the alternate block size gets *degraded* by the extra
+            # pass (observed: Poisson columns at ~k*(alt_nb+1)
+            # block-eigenvalue spacings), so the pass must never be
+            # allowed to lose ground
+            res_b = residuals_chunked(lam_r, Vr)
+            improved = np.zeros(C, dtype=bool)
+            improved[idx] = res_b[: idx.size] < res1[idx]
+            keep = risky & improved
+            touched |= keep
+            # write back with gather+select: any large scatter busts the
+            # TPU's 16MB scoped-VMEM limit in either orientation
+            srcpos = np.zeros(C, np.int64)
+            srcpos[idx] = np.arange(idx.size)
+            V = jax.jit(
+                lambda V, Vr, mask, sp: jnp.where(mask[None, :],
+                                                  Vr[:, sp], V))(
+                V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
+            if prof:
+                _sync(V)
+        # Measured-residual rescue: columns whose BOTH spike passes
+        # failed the threshold (e.g. the pair-arithmetic back-substitution
+        # cascade hit the +-2^80 clip at both block sizes — the kernel
+        # flags those with a 1e30 estimate) get XLA-path passes at a
+        # third block size, accepted only on an EXPLICIT residual
+        # measurement.  Rare (0-10 columns), so the extra matvec pass is
+        # cheap; guarantees no column ever ends worse than its best
+        # attempt.
+        res_after = res1.copy()
+        if idx.size:
+            res_after[idx] = np.where(improved[idx], res_b[: idx.size],
+                                      res1[idx])
+        still = np.nonzero(risky & (res_after > thr_res))[0]
+        if still.size:
+            b2 = 1
+            while b2 < still.size:
+                b2 *= 2
+            st_p = np.concatenate(
+                [still, np.zeros(b2 - still.size, np.int64)])
+            st_j = jnp.asarray(st_p)
+            with subtimer.phase("refine_rescue"):
+                Vr2 = V[:, st_j]
+                lam_r2 = lam_sel[st_j]
+                for _ in range(2):
+                    Vr2 = _compiled_refine(
+                        n, b2, config, config.refine_block_rescue)(
+                        d, e, lam_r2, Vr2)
+                res2 = residuals_chunked(lam_r2, Vr2)
+                improved2 = np.zeros(C, dtype=bool)
+                improved2[still] = res2[: still.size] < res_after[still]
+                touched |= improved2
+                srcpos2 = np.zeros(C, np.int64)
+                srcpos2[still] = np.arange(still.size)
+                V = jax.jit(
+                    lambda V, Vr, mask, sp: jnp.where(mask[None, :],
+                                                      Vr[:, sp], V))(
+                    V, Vr2, jnp.asarray(improved2), jnp.asarray(srcpos2))
+                if prof:
+                    _sync(V)
+
+    return V, touched
+
+
+def _fused_bt_enabled(n: int, config: SolverConfig, leaf_only: bool, mesh,
+                      want_vectors: bool, C: int) -> bool:
+    """Gate for the fused small-n backtransformation (one jit for downsweep
+    + refine pass1 + cluster-orth + measured residuals).
+
+    TPU-only by default (the win is the ~16 ms/dispatch + ~33 ms/fetch
+    tunnel tax — a dozen round-trips were most of the clustered n=4096
+    bench); SE_FORCE_FUSED_BT=1 lets CPU tests drive the same path.
+    Sizes above SE_FUSED_BT_MAX_N (default 8192) keep the stepped,
+    donation-friendly path — the whole-solve jit's HLO temporaries OOM at
+    n=16384 f64 (CLAUDE.md)."""
+    if not want_vectors or leaf_only or mesh is not None:
+        return False
+    if not config.mixed_precision_vectors or config.refine_steps <= 1:
+        return False
+    if C <= 1:
+        return False
+    if n > int(os.environ.get("SE_FUSED_BT_MAX_N", "8192")):
+        return False
+    if os.environ.get("SE_FORCE_FUSED_BT") == "1":
+        return True
+    if os.environ.get("SE_DISABLE_FUSED_BT") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_fused_bt(n: int, config: SolverConfig, ncols: int, sig,
+                       spike: bool):
+    """ONE jit for the whole small-n backtransformation: f32 downsweep
+    (fused Pallas Cauchy matmuls) -> f64 inverse-iteration pass (Spike
+    kernels) -> bucketed cluster CholeskyQR (host-planned from lam, device
+    acceptance) -> measured residual norms.
+
+    Returns (V, packed) where packed = [res (C,), est (C,), seg_ok
+    (#planned segments,)] so the host needs exactly ONE fetch to run
+    triage.  ``sig`` is `plan_cluster_orth`'s static bucket signature."""
+    from .kernels.refine import apply_cluster_orth_plan, inverse_iteration
+
+    plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
+    block = config.block_size
+    chunk = max(1, min(config.vec_chunk, config.resolved_refine_chunk(n)))
+
+    def fn(reps, Q, d, e, lam_flat, sel, starts_l, widths_l, seg_of_col,
+           srcpos, mask_plan):
+        top = jax.tree.map(lambda a: a[0], reps[-1])
+        X = assemble_u(top, cols=sel, block=block, dtype=jnp.float32)
+        for li in range(plan.num_levels - 2, -1, -1):
+            lv = plan.levels[li]
+            k, m = lv.num_merges, lv.merge_size
+            X = X.reshape(k, m, ncols)
+            X = apply_u_level(reps[li], X, block=block)
+            X = X.reshape(k * m, ncols)
+        X = X.reshape(plan.num_leaves, plan.leaf_pad, ncols)
+        X = jnp.einsum("kij,kjc->kic", Q.astype(X.dtype), X,
+                       precision=jax.lax.Precision.HIGHEST)
+        X = X.reshape(plan.padded_n, ncols)
+        V = X[jnp.asarray(plan.row_map())]
+        lam_sel = lam_flat[:n][sel]
+        if spike:
+            from .kernels.pallas.spike_solve import spike_refine
+            V, est = spike_refine(d, e, lam_sel, V,
+                                  nb=config.refine_block, chunk=chunk)
+        else:
+            V = inverse_iteration(d, e, lam_sel, V, steps=1,
+                                  block=config.refine_block)
+            est = jnp.zeros((ncols,), V.dtype)
+        V, ok_cat = apply_cluster_orth_plan(V, sig, starts_l, widths_l,
+                                            seg_of_col, srcpos, mask_plan)
+        res = residual_norms(d, e, lam_sel, V)
+        packed = jnp.concatenate([res, est, ok_cat.astype(res.dtype)])
+        return V, packed
+
+    return jax.jit(fn)
+
+
+def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
+                         subtimer=None):
+    """Host orchestration of the fused small-n backtransformation: plans the
+    cluster orthonormalization from the already-computed eigenvalues, runs
+    the single fused dispatch, then (rarely) explicit-QRs rejected/oversized
+    segments and triages risky columns exactly like the staged epilogue."""
+    from .kernels.refine import (_compiled_wide_orth, orth_explicit_qr,
+                                 orthonormalize_clusters, plan_cluster_orth)
+    from .utils.timing import PhaseTimer
+    from .utils.timing import sync as _sync
+    prof = subtimer is not None
+    subtimer = subtimer if prof else PhaseTimer()
+
+    n = int(d.shape[0])
+    C = int(sel.shape[0])
+    lam_np_all = np.asarray(lam_flat[:n])     # one (n,) fetch
+    lam_np = lam_np_all[np.asarray(sel)]
+    norm_t = float(np.max(np.abs(lam_np_all)))
+    u_f32 = float(jnp.finfo(jnp.float32).eps) / 2.0
+    gap_mid = max(config.ortho_gap_factor,
+                  config.refine_risky_gap_factor * u_f32)
+    (sig, starts_l, widths_l, seg_of_col, srcpos, mask_plan, seg_ranges,
+     wide) = plan_cluster_orth(lam_np, norm_t, gap_mid, C, n)
+    spike = (config.use_pallas_refine and n >= 512
+             and (jax.default_backend() == "tpu"
+                  or os.environ.get("SE_FORCE_SPIKE") == "1"))
+    fn = _compiled_fused_bt(n, config, C, sig, spike)
+    with subtimer.phase("fused_bt"):
+        V, packed = fn(reps, Q, d, e, lam_flat, sel,
+                       tuple(jnp.asarray(a) for a in starts_l),
+                       tuple(jnp.asarray(a) for a in widths_l),
+                       jnp.asarray(seg_of_col), jnp.asarray(srcpos),
+                       jnp.asarray(mask_plan))
+        packed = np.asarray(packed)           # the ONE fetch of the phase
+    res1 = packed[:C]
+    est = packed[C:2 * C]
+    ok = packed[2 * C:] > 0.5
+    bad = [seg_ranges[i] for i in np.nonzero(~ok)[0]]
+    if bad or wide:
+        with subtimer.phase("ortho_rescue"):
+            tpu_f64 = (jax.default_backend() == "tpu"
+                       and V.dtype == jnp.float64)
+            for s, t in wide:
+                okw, Yw = _compiled_wide_orth(n, t - s, tpu_f64)(V[:, s:t])
+                if bool(okw):
+                    V = V.at[:, s:t].set(Yw)
+                else:
+                    q, _ = jnp.linalg.qr(V[:, s:t])
+                    V = V.at[:, s:t].set(q)
+            V = orth_explicit_qr(V, bad)
+    sentinel = (est > 1e29) if spike else np.zeros(C, dtype=bool)
+    one_pass, residuals_chunked = _refine_ops(d, e, n, C, config)
+    V, touched = _triage_passes(d, e, lam_flat[:n][sel], V, res1, sentinel,
+                                norm_t, config, one_pass, residuals_chunked,
+                                subtimer, prof)
+    if touched.any():
+        # segments containing a column the extra/rescue passes replaced
+        # after the in-jit orthonormalization; everything else is already
+        # orthonormal and unchanged
+        with subtimer.phase("ortho_final"):
+            V = orthonormalize_clusters(lam_np, V, norm_t,
+                                        gap_factor=gap_mid, touched=touched)
+            if prof:
+                _sync(V)
     return V
 
 
@@ -694,6 +873,10 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
         with timer.phase("backtransformation"):
             if leaf_only:
                 V = Q[0][:, :n][:, sel]
+            elif _fused_bt_enabled(n, config, leaf_only, mesh, want_vectors,
+                                   int(sel.shape[0])):
+                V = _fused_backtransform(reps, Q, d, e, lam_flat, sel,
+                                         config, subtimer=subtimer)
             else:
                 if prof:
                     with subtimer.phase("downsweep"):

@@ -16,11 +16,24 @@ Mosaic has no f64, so the driver pre-splits each f64 vector v into
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# f32 dot tiers on the MXU: "highest" ~ 6 bf16 passes (~2^-24 products);
+# "bf16_3x" splits each f32 operand into bf16 hi+lo words and runs THREE
+# DEFAULT-precision MXU passes (hi*hi + hi*lo + lo*hi), capturing ~16 of the
+# 24 mantissa bits — ~1.5e-5-grade products at 2x the throughput.  (Mosaic
+# rejects lax.Precision.HIGH inside kernels, hence the manual split.)  The
+# downsweep's contamination is cleaned by the f64 refinement epilogue: one
+# inverse-iteration pass leaves mixing ~ eta*lam_err/gap ~ 1e-5*4e-13/gap,
+# which the existing risky-band CholeskyQR already covers — but keep
+# "highest" the default until bench evidence says otherwise
+# (SE_DOWNSWEEP_PRECISION=bf16_3x).
+_PRECISIONS = ("highest", "bf16_3x")
 
 
 def split_f64(v):
@@ -38,7 +51,7 @@ def _two_sum(a, b):
     return s, err
 
 
-def _kernel(ph, plo, svh, svl, th, tl, z, ninv, x, out):
+def _kernel(ph, plo, svh, svl, th, tl, z, ninv, x, out, *, prec):
     i = pl.program_id(2)
 
     pj_h = ph[0, :][:, None]      # (TJ, 1)
@@ -65,14 +78,29 @@ def _kernel(ph, plo, svh, svl, th, tl, z, ninv, x, out):
     def _():
         out[:] = jnp.zeros_like(out)
 
-    # HIGHEST: Mosaic's default dot runs a single bf16 MXU pass (~4e-3 rel)
-    out[:] += jax.lax.dot_general(
-        m, x[:], (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    # never DEFAULT alone: a single bf16 MXU pass (~4e-3 rel) would swamp
+    # the refinement's contamination model
+    dims = (((1,), (0,)), ((), ()))
+    if prec == "bf16_3x":
+        mh = m.astype(jnp.bfloat16)
+        ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+        xv = x[:]
+        xh = xv.astype(jnp.bfloat16)
+        xl = (xv - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(mh, xh, dims,
+                                  preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(mh, xl, dims,
+                                   preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(ml, xh, dims,
+                                   preferred_element_type=jnp.float32)
+        out[:] += acc
+    else:
+        out[:] += jax.lax.dot_general(
+            m, x[:], dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("tj", "ti", "tc"))
 def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
                   tj: int = 256, ti: int = 512, tc: int = 512):
     """Y (m, C) f32 = M @ X with M generated on the fly.
@@ -82,7 +110,22 @@ def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
     Small merges (m < ti) run with full-m tiles — the deep tree levels
     (m = 64..256) would otherwise fall back to the XLA emulated-f64
     generate-then-dot path, ~0.14 s per level at n=16384.
+
+    SE_DOWNSWEEP_PRECISION selects the MXU f32 dot tier (read OUTSIDE the
+    jit so it keys the compile cache): "highest" (default) or "bf16_3x".
     """
+    prec = os.environ.get("SE_DOWNSWEEP_PRECISION", "highest").lower()
+    if prec not in _PRECISIONS:
+        prec = "highest"
+    return _cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
+                          tj, ti, tc, prec)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tj", "ti", "tc", "prec"))
+def _cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
+                   tj: int = 256, ti: int = 512, tc: int = 512,
+                   prec: str = "highest"):
     m = poles.shape[0]
     C = X.shape[1]
     if m < ti:
@@ -99,15 +142,16 @@ def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
     # cannot legalize ("func.return (i32, i64, i32)"); trace the kernel x32
     with jax.enable_x64(False):
         return _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X,
-                     tj, ti, tc, m, C)
+                     tj, ti, tc, m, C, prec)
 
 
-def _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X, tj, ti, tc, m, C):
+def _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X, tj, ti, tc, m, C,
+          prec="highest"):
     def vec_spec(tile, pick):
         return pl.BlockSpec((1, tile), pick, memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, prec=prec),
         grid=grid,
         in_specs=[
             vec_spec(tj, lambda j, c, i: (0, j)),   # poles hi

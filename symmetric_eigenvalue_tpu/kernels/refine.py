@@ -17,6 +17,7 @@ import time as _time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -445,64 +446,231 @@ def _compiled_cluster_orth(n: int, nseg: int, wmax: int):
     tunnel round-trip each; together they were most of the 0.59 s
     ortho_mid phase of the n=16384 headline."""
 
-    def gram(S):
-        """Per-segment Grams (nseg, wmax, wmax) from S (nseg, n, wmax).
+    return jax.jit(functools.partial(cluster_orth_body,
+                                     nseg=nseg, wmax=wmax))
 
-        On TPU the plain f64 einsum is NOT usable: XLA's emulated-f64
-        dot_general is only ~1e-6-grade for matrix-matrix shapes at these
-        contraction lengths (measured: 3.6e-7 abs at K=4096, 2.9e-6 at
-        K=16384 — the exact magnitude of the round-2 "Poisson 5e-6
-        blemish", which was this platform defect corrupting the
-        CholeskyQR Gram, not inverse-iteration mixing).  Route through the
-        MXU-sliced double-word GEMM on the horizontally stacked segment
-        matrix and take the block diagonal; cross-segment blocks are
-        wasted flops but the kernel runs at ~4 TFLOP/s-grade so the whole
-        Gram costs ~0.1 s at the clustered-bench shape."""
-        if jax.default_backend() != "tpu" or S.dtype != jnp.float64:
-            return jnp.einsum("bnw,bnv->bwv", S, S)
-        if wmax <= 8:
-            return _gram_reduce(S)
-        from .pallas.dword_matmul import dword_matmul
-        # group segments so the stacked width stays bounded (the full
-        # cross-Gram is (g*wmax)^2 f64)
-        gsz = max(1, min(nseg, 4096 // max(wmax, 1)))
-        outs = []
-        for o in range(0, nseg, gsz):
-            g = min(gsz, nseg - o)
-            X = jnp.moveaxis(S[o:o + g], 0, 1).reshape(S.shape[1], g * wmax)
-            Gf = dword_matmul(X.T, X).reshape(g, wmax, g, wmax)
-            outs.append(Gf[jnp.arange(g), :, jnp.arange(g), :])
-        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
-    def fn(V, starts, widths):
-        cols = starts[:, None] + jnp.arange(wmax)[None, :]       # (nseg, wmax)
-        colmask = jnp.arange(wmax)[None, :] < widths[:, None]
-        cols_safe = jnp.clip(cols, 0, V.shape[1] - 1)
-        S = V[:, cols_safe]                   # (n, nseg, wmax)
-        S = jnp.moveaxis(S, 0, 1) * colmask[:, None, :]
-        G = gram(S)
-        eye_pad = jnp.where(colmask, 0.0, 1.0)
-        G = G + jnp.eye(wmax, dtype=V.dtype)[None] * eye_pad[:, :, None]
-        L = jnp.linalg.cholesky(G)
-        Y = jax.lax.linalg.triangular_solve(
-            L, S, left_side=False, lower=True, transpose_a=True)
-        # Guard: a (near-)singular Gram — columns the refinement could not
-        # separate — makes cholesky yield NaN, or finite Y with orthogonality
-        # only ~cond(S)^2*eps.  Acceptance is decided A-PRIORI from G itself:
-        # Gershgorin row sums bound cond(G) <= (1+err)/(1-err), and one
-        # floating-point CholeskyQR of a full-rank S returns orthogonality
-        # ~cond(G)*n*u (u ~ 2^-48 here), so err < 0.1 guarantees <= ~n*u
-        # ~1e-10 at the flagship n — no second n-contraction Gram needed
-        # (it cost as much as the first; platform-corruption detection lives
-        # in the bench's post-hoc max_ortho_error instead).  Segments that
-        # fail keep their original columns; the caller runs explicit QR.
-        err = jnp.max(jnp.sum(jnp.abs(
-            G - jnp.eye(wmax, dtype=V.dtype)[None]), axis=2), axis=1)
-        seg_ok = jnp.all(jnp.isfinite(Y), axis=(1, 2)) & (err < 0.1)
-        Yflat = jnp.moveaxis(Y, 0, 1).reshape(n, nseg * wmax)
-        return Yflat, seg_ok
+def _cluster_gram(S, nseg: int, wmax: int):
+    """Per-segment Grams (nseg, wmax, wmax) from S (nseg, n, wmax).
 
-    return jax.jit(fn)
+    On TPU the plain f64 einsum is NOT usable: XLA's emulated-f64
+    dot_general is only ~1e-6-grade for matrix-matrix shapes at these
+    contraction lengths (measured: 3.6e-7 abs at K=4096, 2.9e-6 at
+    K=16384 — the exact magnitude of the round-2 "Poisson 5e-6
+    blemish", which was this platform defect corrupting the
+    CholeskyQR Gram, not inverse-iteration mixing).  Route through the
+    MXU-sliced double-word GEMM on the horizontally stacked segment
+    matrix and take the block diagonal; cross-segment blocks are
+    wasted flops but the kernel runs at ~4 TFLOP/s-grade so the whole
+    Gram costs ~0.1 s at the clustered-bench shape."""
+    if jax.default_backend() != "tpu" or S.dtype != jnp.float64:
+        return jnp.einsum("bnw,bnv->bwv", S, S)
+    if wmax <= 8:
+        return _gram_reduce(S)
+    from .pallas.dword_matmul import dword_matmul
+    # group segments so the stacked width stays bounded (the full
+    # cross-Gram is (g*wmax)^2 f64)
+    gsz = max(1, min(nseg, 4096 // max(wmax, 1)))
+    outs = []
+    for o in range(0, nseg, gsz):
+        g = min(gsz, nseg - o)
+        X = jnp.moveaxis(S[o:o + g], 0, 1).reshape(S.shape[1], g * wmax)
+        Gf = dword_matmul(X.T, X).reshape(g, wmax, g, wmax)
+        outs.append(Gf[jnp.arange(g), :, jnp.arange(g), :])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def cluster_orth_body(V, starts, widths, *, nseg: int, wmax: int):
+    """Traceable batched-CholeskyQR body (segment-major output layout);
+    composable inside larger jits (the driver's fused small-n
+    backtransformation) as well as via `_compiled_cluster_orth`."""
+    n = V.shape[0]
+    cols = starts[:, None] + jnp.arange(wmax)[None, :]       # (nseg, wmax)
+    colmask = jnp.arange(wmax)[None, :] < widths[:, None]
+    cols_safe = jnp.clip(cols, 0, V.shape[1] - 1)
+    S = V[:, cols_safe]                   # (n, nseg, wmax)
+    S = jnp.moveaxis(S, 0, 1) * colmask[:, None, :]
+    G = _cluster_gram(S, nseg, wmax)
+    eye_pad = jnp.where(colmask, 0.0, 1.0)
+    G = G + jnp.eye(wmax, dtype=V.dtype)[None] * eye_pad[:, :, None]
+    L = jnp.linalg.cholesky(G)
+    Y = jax.lax.linalg.triangular_solve(
+        L, S, left_side=False, lower=True, transpose_a=True)
+    # Guard: a (near-)singular Gram — columns the refinement could not
+    # separate — makes cholesky yield NaN, or finite Y with orthogonality
+    # only ~cond(S)^2*eps.  Acceptance is decided A-PRIORI from G itself:
+    # Gershgorin row sums bound cond(G) <= (1+err)/(1-err), and one
+    # floating-point CholeskyQR of a full-rank S returns orthogonality
+    # ~cond(G)*n*u (u ~ 2^-48 here), so err < 0.1 guarantees <= ~n*u
+    # ~1e-10 at the flagship n — no second n-contraction Gram needed
+    # (it cost as much as the first; platform-corruption detection lives
+    # in the bench's post-hoc max_ortho_error instead).  Segments that
+    # fail keep their original columns; the caller runs explicit QR.
+    err = jnp.max(jnp.sum(jnp.abs(
+        G - jnp.eye(wmax, dtype=V.dtype)[None]), axis=2), axis=1)
+    seg_ok = jnp.all(jnp.isfinite(Y), axis=(1, 2)) & (err < 0.1)
+    Yflat = jnp.moveaxis(Y, 0, 1).reshape(n, nseg * wmax)
+    return Yflat, seg_ok
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_cluster_orth_narrow(n: int, nseg: int, w: int):
+    """Position-major batched CholeskyQR for narrow segments (w <= 8).
+
+    Same contract as `_compiled_cluster_orth` but every device operand is
+    (n, nseg) with the SEGMENT index in the lane dim.  The batched
+    (nseg, n, w) formulation puts w (2..8) in the lanes — which the TPU
+    tiles to 128 (up to 64x register/layout bloat) — and pays two full
+    transposes; the measured w=2 bucket cost 0.30 s of the n=16384
+    headline.  Here the w x w Gram, its Cholesky (Crout) and the forward
+    substitution unroll in PYTHON over w (<= w(w+1)/2 = 36 terms), so the
+    device program is pure (n, nseg) elementwise work + sublane-axis
+    reductions — all layouts native.  XLA's emulated-f64 REDUCTIONS are
+    accurate at any length (CLAUDE.md; only matrix-matrix dots are
+    ~1e-6-grade), so no double-word kernel is needed.
+
+    Output layout is position-major: column p of segment s lives at
+    ``p*nseg + s`` in the returned (n, w*nseg) block — the caller's
+    srcpos map accounts for it."""
+    return jax.jit(functools.partial(cluster_orth_narrow_body, w=w))
+
+
+def cluster_orth_narrow_body(V, starts, widths, *, w: int):
+    """Traceable body of `_compiled_cluster_orth_narrow` (see its doc)."""
+    S, Gd = [], [[None] * w for _ in range(w)]
+    for p in range(w):
+        colp = jnp.clip(starts + p, 0, V.shape[1] - 1)
+        m = (p < widths).astype(V.dtype)
+        S.append(V[:, colp] * m[None, :])
+    for i in range(w):
+        for j in range(i + 1):
+            g = jnp.sum(S[i] * S[j], axis=0)           # (nseg,)
+            if i == j:                                  # identity pad
+                g = jnp.where(i < widths, g, 1.0)
+            Gd[i][j] = Gd[j][i] = g
+    # Gershgorin acceptance (see cluster_orth_body): row sums of
+    # |G - I| < 0.1 bounds cond(G), guaranteeing CholeskyQR reaches
+    # ~n*u orthogonality in one pass.
+    err = jnp.zeros_like(Gd[0][0])
+    for i in range(w):
+        row = sum(jnp.abs(Gd[i][j] - (1.0 if i == j else 0.0))
+                  for j in range(w))
+        err = jnp.maximum(err, row)
+    L = [[None] * w for _ in range(w)]
+    for i in range(w):
+        for j in range(i + 1):
+            acc = Gd[i][j]
+            for k in range(j):
+                acc = acc - L[i][k] * L[j][k]
+            L[i][j] = jnp.sqrt(acc) if i == j else acc / L[j][j]
+    Y = []
+    for i in range(w):
+        acc = S[i]
+        for k in range(i):
+            acc = acc - Y[k] * L[i][k][None, :]
+        Y.append(acc / L[i][i][None, :])
+    ok = err < 0.1
+    for yi in Y:
+        ok = ok & jnp.all(jnp.isfinite(yi), axis=0)
+    return jnp.concatenate(Y, axis=1), ok
+
+
+_NARROW_ORTH_W = 8
+
+
+def plan_cluster_orth(lam_np, norm_t, gap_factor: float, C: int, n: int):
+    """Host-side plan of a batched cluster orthonormalization from the
+    eigenvalues ALONE (segments depend only on lam gaps, never on V) — so a
+    caller that already holds lam on the host can bake the whole bucketed
+    CholeskyQR into a single jit dispatch (`apply_cluster_orth_plan`)
+    BEFORE any eigenvector work runs.
+
+    Returns (sig, starts_list, widths_list, seg_of_col, srcpos, mask_plan,
+    seg_ranges, wide_segs):
+      sig          static tuple of (g2, w2, narrow, nseg) per bucket dispatch
+      starts/widths  per-bucket (g2,) int64 numpy arrays
+      seg_of_col   (C,) flat planned-segment index owning each column
+      srcpos       (C,) column's replacement index inside the concatenated
+                   bucket outputs (accounting for narrow position-major vs
+                   wide segment-major layouts)
+      mask_plan    (C,) True on planned columns
+      seg_ranges   [(s, t)] per planned segment in flat order (for host
+                   fallback on CholeskyQR rejection)
+      wide_segs    [(s, t)] oversized segments (> _MAX_BATCH_W) the caller
+                   must handle on the host."""
+    lam_np = np.asarray(lam_np)
+    segs = cluster_segments(lam_np, gap_factor * norm_t)
+    small = [(s, t) for (s, t) in segs if t - s <= _MAX_BATCH_W]
+    wide = [(s, t) for (s, t) in segs if t - s > _MAX_BATCH_W]
+    buckets = {}
+    for (s, t) in small:
+        w2 = 1 << (t - s - 1).bit_length() if t - s > 1 else 1
+        buckets.setdefault(max(w2, 2), []).append((s, t))
+    budget_cols = max(_MIN_BUDGET_COLS, _BATCH_BUDGET_BYTES // (8 * n))
+    sig, starts_l, widths_l, seg_ranges = [], [], [], []
+    mask_plan = np.zeros(C, bool)
+    srcpos = np.zeros(C, np.int64)
+    seg_of_col = np.zeros(C, np.int64)
+    off = 0
+    segidx = 0
+    for w2, segs_w in sorted(buckets.items()):
+        gcap = max(1, budget_cols // w2)
+        for o in range(0, len(segs_w), gcap):
+            batch = segs_w[o:o + gcap]
+            nseg = len(batch)
+            g2 = 1 << (nseg - 1).bit_length() if nseg > 1 else 1
+            narrow = w2 <= _NARROW_ORTH_W
+            starts = np.zeros(g2, np.int64)
+            widths = np.zeros(g2, np.int64)
+            for i, (s, t) in enumerate(batch):
+                starts[i] = s
+                widths[i] = t - s
+                mask_plan[s:t] = True
+                seg_of_col[s:t] = segidx
+                srcpos[s:t] = (off + np.arange(t - s) * g2 + i) if narrow \
+                    else (off + i * w2 + np.arange(t - s))
+                seg_ranges.append((s, t))
+                segidx += 1
+            sig.append((g2, w2, narrow, nseg))
+            starts_l.append(starts)
+            widths_l.append(widths)
+            off += g2 * w2
+    return (tuple(sig), starts_l, widths_l, seg_of_col, srcpos, mask_plan,
+            seg_ranges, wide)
+
+
+def apply_cluster_orth_plan(V, sig, starts_l, widths_l, seg_of_col, srcpos,
+                            mask_plan):
+    """Traceable: run every planned bucket's CholeskyQR and merge the
+    accepted segments into V with ONE gather+select — acceptance (seg_ok)
+    is resolved ON DEVICE, so the whole orthonormalization composes into a
+    larger jit with zero host round-trips.  Returns (V, ok_cat) where
+    ok_cat[i] tells the host whether planned segment i was accepted
+    (rejected ones keep their input columns; the caller runs explicit QR)."""
+    Yflats, oks = [], []
+    for (g2, w2, narrow, nseg), st, wd in zip(sig, starts_l, widths_l):
+        if narrow:
+            Yf, ok = cluster_orth_narrow_body(V, st, wd, w=w2)
+        else:
+            Yf, ok = cluster_orth_body(V, st, wd, nseg=g2, wmax=w2)
+        Yflats.append(Yf)
+        oks.append(ok[:nseg])
+    if not Yflats:
+        return V, jnp.zeros((0,), bool)
+    ok_cat = jnp.concatenate(oks) if len(oks) > 1 else oks[0]
+    Ycat = jnp.concatenate(Yflats, axis=1) if len(Yflats) > 1 else Yflats[0]
+    col_ok = mask_plan & ok_cat[seg_of_col]
+    V = jnp.where(col_ok[None, :], Ycat[:, srcpos], V)
+    return V, ok_cat
+
+
+def orth_explicit_qr(V, segs):
+    """Host fallback: explicit QR of the given (s, t) column ranges —
+    near-parallel columns whose Gram was not safely SPD."""
+    for s, t in segs:
+        q, _ = jnp.linalg.qr(V[:, s:t])
+        V = V.at[:, s:t].set(q)
+    return V
 
 
 @functools.lru_cache(maxsize=64)
@@ -609,18 +777,22 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
                 for i, (s, t) in enumerate(batch):
                     starts[i] = s
                     widths[i] = t - s
-                Yf, seg_ok = _compiled_cluster_orth(n, g2, w2)(
+                narrow = w2 <= _NARROW_ORTH_W
+                kern = (_compiled_cluster_orth_narrow if narrow
+                        else _compiled_cluster_orth)
+                Yf, seg_ok = kern(n, g2, w2)(
                     V, jnp.asarray(starts), jnp.asarray(widths))
                 if prof_ortho:
                     Yf.block_until_ready()
                     _ = np.asarray(seg_ok[:1])   # tunnel: force completion
                     print(f"    [ortho] bucket w2={w2} nseg={nseg} g2={g2}"
+                          f" narrow={narrow}"
                           f" wall={_time.perf_counter()-t_prof:.3f}s",
                           flush=True)
                     t_prof = _time.perf_counter()
                 Yflats.append(Yf)
                 seg_oks.append(seg_ok[:nseg])
-                metas.append((batch, off, w2))
+                metas.append((batch, off, w2, g2, narrow))
                 off += g2 * w2
         # Phase 2: ONE seg_ok fetch for every dispatch (each np.asarray is a
         # ~33 ms tunnel round-trip; batching them was worth ~0.1 s/phase).
@@ -637,11 +809,14 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
         mask = np.zeros(C, bool)
         srcpos = np.zeros(C, np.int64)
         k = 0
-        for batch, base, w2 in metas:
+        for batch, base, w2, g2, narrow in metas:
             for i, (s, t) in enumerate(batch):
                 if ok_all[k]:
                     mask[s:t] = True
-                    srcpos[s:t] = base + i * w2 + np.arange(t - s)
+                    # narrow buckets emit position-major blocks (column p of
+                    # segment i at p*g2 + i); wide ones segment-major
+                    srcpos[s:t] = (base + np.arange(t - s) * g2 + i) \
+                        if narrow else (base + i * w2 + np.arange(t - s))
                 else:
                     large.append((s, t))
                 k += 1

@@ -147,11 +147,45 @@ def test_staged_profile_subphases(rng, monkeypatch):
     monkeypatch.setenv("SE_PROFILE_BACKTRANSFORM", "1")
     res1, timer = solve_tridiagonal_staged(d, e, compute_vectors=True,
                                            config=cfg)
-    assert "bt.downsweep" in timer.times
-    assert "bt.refine_pass1" in timer.times
-    assert "bt.ortho_final" in timer.times
+    if "bt.fused_bt" in timer.times:
+        # fused small-n route (TPU default; SE_FORCE_FUSED_BT=1 on CPU):
+        # downsweep + pass1 + ortho + residuals are one dispatch
+        assert "bt.fused_bt" in timer.times
+    else:
+        assert "bt.downsweep" in timer.times
+        assert "bt.refine_pass1" in timer.times
+        assert "bt.ortho_final" in timer.times
     assert np.abs(np.asarray(res0.eigenvectors)
                   - np.asarray(res1.eigenvectors)).max() == 0.0
+
+
+def test_fused_backtransform_matches(rng, monkeypatch):
+    """The fused small-n backtransformation (one jit: downsweep + refine
+    pass1 + planned cluster-orth + residuals; TPU default, forced here on
+    CPU) returns the same eigenvalues and target-meeting vectors as the
+    stepped path — including with a sparse eigenvector selection."""
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+    n = 256
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    cfg = se.SolverConfig(leaf_size=32, mixed_precision_vectors=True)
+    res0, _ = solve_tridiagonal_staged(d, e, compute_vectors=True, config=cfg)
+    monkeypatch.setenv("SE_FORCE_FUSED_BT", "1")
+    res1, _ = solve_tridiagonal_staged(d, e, compute_vectors=True, config=cfg)
+    lam0 = np.asarray(res0.eigenvalues)
+    lam1 = np.asarray(res1.eigenvalues)
+    assert np.array_equal(lam0, lam1)
+    V = np.asarray(res1.eigenvectors)
+    T = np.diag(np.asarray(d)) + np.diag(np.asarray(e), 1) \
+        + np.diag(np.asarray(e), -1)
+    normT = np.abs(lam1).max()
+    assert np.abs(T @ V - V * lam1[None, :]).max() < 1e-12 * normT
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-11
+
+    sel = np.arange(0, n, 3)
+    res2, _ = solve_tridiagonal_staged(d, e, select=sel, config=cfg)
+    Vs = np.asarray(res2.eigenvectors)
+    assert np.abs(T @ Vs - Vs * lam1[sel][None, :]).max() < 1e-12 * normT
 
 
 def test_pure_recursion_leaf1(rng):
