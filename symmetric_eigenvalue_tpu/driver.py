@@ -548,6 +548,41 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     return V
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_fused_extra(n: int, b: int, config: SolverConfig,
+                          spike_extra: bool):
+    """The whole extra-pass triage step in ONE dispatch: gather the risky
+    bucket, run the alternate-block passes, measure residuals, accept only
+    improved columns, and scatter the winners back — the host gets (V,
+    packed=[res_b, improved]) with a single fetch.  The unfused version
+    cost ~4 dispatches + 2 fetches (~0.13 s of the n=16384 headline) to
+    re-solve ONE column.  ``idx`` is padded to b with C (out-of-range,
+    dropped by the scatter); ``res1_idx`` pads are -inf so pads never
+    'improve'."""
+    from .kernels.refine import inverse_iteration
+
+    def fn(d, e, lam_r, V, idx, res1_idx):
+        idx_safe = jnp.minimum(idx, V.shape[1] - 1)
+        Vr = V[:, idx_safe]
+        for _ in range(config.refine_steps - 1):
+            if spike_extra:
+                from .kernels.pallas.spike_solve import spike_refine
+                Vr, _ = spike_refine(d, e, lam_r, Vr,
+                                     nb=config.refine_block_alt,
+                                     chunk=max(b, 8))
+            else:
+                Vr = inverse_iteration(d, e, lam_r, Vr, steps=1,
+                                       block=config.refine_block_alt)
+        res_b = residual_norms(d, e, lam_r, Vr)
+        improved = res_b < res1_idx
+        upd = jnp.where(improved[None, :], Vr, V[:, idx_safe])
+        V = V.at[:, idx].set(upd, mode="drop")
+        packed = jnp.concatenate([res_b, improved.astype(res_b.dtype)])
+        return V, packed
+
+    return jax.jit(fn, donate_argnums=(3,))
+
+
 def _triage_passes(d, e, lam_sel, V, res1, sentinel, norm_t,
                    config: SolverConfig, one_pass, residuals_chunked,
                    subtimer, prof):
@@ -577,41 +612,61 @@ def _triage_passes(d, e, lam_sel, V, res1, sentinel, norm_t,
         b = 1
         while b < idx.size:
             b *= 2
-        idx_p = np.concatenate([idx, np.zeros(b - idx.size, np.int64)])
-        idx_j = jnp.asarray(idx_p)
-        with subtimer.phase("refine_extra"):
-            Vr = V[:, idx_j]
-            lam_r = lam_sel[idx_j]
-            # XLA solver by default (use_pallas_refine_extra=False): the
-            # bucket is narrow so its scan latency is small, and its
-            # emulated-f64 arithmetic leaves less mixing/residual on the
-            # resonant and tight-gap columns this pass targets than the
-            # pair kernel (SolverConfig docstring has the measurements)
-            for _ in range(config.refine_steps - 1):
-                Vr, _unused = one_pass(
-                    lam_r, Vr, config.refine_block_alt,
-                    allow_spike=config.use_pallas_refine_extra)
-            # keep the BETTER of pre/post-pass per column — by MEASURED
-            # residual (bucket-sized matvec, cheap): a column resonant
-            # with the alternate block size gets *degraded* by the extra
-            # pass (observed: Poisson columns at ~k*(alt_nb+1)
-            # block-eigenvalue spacings), so the pass must never be
-            # allowed to lose ground
-            res_b = residuals_chunked(lam_r, Vr)
+        chunk = max(1, min(config.vec_chunk, config.resolved_refine_chunk(n)))
+        # XLA solver by default (use_pallas_refine_extra=False): the
+        # bucket is narrow so its scan latency is small, and its
+        # emulated-f64 arithmetic leaves less mixing/residual on the
+        # resonant and tight-gap columns this pass targets than the
+        # pair kernel (SolverConfig docstring has the measurements).
+        # Keep the BETTER of pre/post-pass per column — by MEASURED
+        # residual: a column resonant with the alternate block size gets
+        # *degraded* by the extra pass (observed: Poisson columns at
+        # ~k*(alt_nb+1) block-eigenvalue spacings), so the pass must
+        # never be allowed to lose ground.
+        if b <= chunk and not config.use_pallas_refine_extra:
+            # (the spike-extra config keeps the unfused path: tests substitute
+            # a host-side fake spike_refine that cannot trace inside a jit)
+            # fused single-dispatch path (bucket fits one residual chunk)
+            idx_p = np.full(b, C, np.int64)      # pads dropped by scatter
+            idx_p[: idx.size] = idx
+            res1_idx = np.full(b, -np.inf)       # pads never 'improve'
+            res1_idx[: idx.size] = res1[idx]
+            lam_r = lam_sel[jnp.asarray(np.minimum(idx_p, C - 1))]
+            with subtimer.phase("refine_extra"):
+                V, packed = _compiled_fused_extra(n, b, config, False)(
+                    d, e, lam_r, V, jnp.asarray(idx_p),
+                    jnp.asarray(res1_idx))
+                packed = np.asarray(packed)      # the one fetch
+            res_b = packed[:b]
             improved = np.zeros(C, dtype=bool)
-            improved[idx] = res_b[: idx.size] < res1[idx]
+            improved[idx] = packed[b:][: idx.size] > 0.5
             keep = risky & improved
             touched |= keep
-            # write back with gather+select: any large scatter busts the
-            # TPU's 16MB scoped-VMEM limit in either orientation
-            srcpos = np.zeros(C, np.int64)
-            srcpos[idx] = np.arange(idx.size)
-            V = jax.jit(
-                lambda V, Vr, mask, sp: jnp.where(mask[None, :],
-                                                  Vr[:, sp], V))(
-                V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
-            if prof:
-                _sync(V)
+        else:
+            idx_p = np.concatenate([idx, np.zeros(b - idx.size, np.int64)])
+            idx_j = jnp.asarray(idx_p)
+            with subtimer.phase("refine_extra"):
+                Vr = V[:, idx_j]
+                lam_r = lam_sel[idx_j]
+                for _ in range(config.refine_steps - 1):
+                    Vr, _unused = one_pass(
+                        lam_r, Vr, config.refine_block_alt,
+                        allow_spike=config.use_pallas_refine_extra)
+                res_b = residuals_chunked(lam_r, Vr)
+                improved = np.zeros(C, dtype=bool)
+                improved[idx] = res_b[: idx.size] < res1[idx]
+                keep = risky & improved
+                touched |= keep
+                # write back with gather+select: any large scatter busts the
+                # TPU's 16MB scoped-VMEM limit in either orientation
+                srcpos = np.zeros(C, np.int64)
+                srcpos[idx] = np.arange(idx.size)
+                V = jax.jit(
+                    lambda V, Vr, mask, sp: jnp.where(mask[None, :],
+                                                      Vr[:, sp], V))(
+                    V, Vr, jnp.asarray(keep), jnp.asarray(srcpos))
+                if prof:
+                    _sync(V)
         # Measured-residual rescue: columns whose BOTH spike passes
         # failed the threshold (e.g. the pair-arithmetic back-substitution
         # cascade hit the +-2^80 clip at both block sizes — the kernel

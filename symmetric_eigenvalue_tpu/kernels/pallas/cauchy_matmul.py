@@ -30,10 +30,13 @@ from jax.experimental.pallas import tpu as pltpu
 # rejects lax.Precision.HIGH inside kernels, hence the manual split.)  The
 # downsweep's contamination is cleaned by the f64 refinement epilogue: one
 # inverse-iteration pass leaves mixing ~ eta*lam_err/gap ~ 1e-5*4e-13/gap,
-# which the existing risky-band CholeskyQR already covers — but keep
-# "highest" the default until bench evidence says otherwise
-# (SE_DOWNSWEEP_PRECISION=bf16_3x).
+# which the existing risky-band CholeskyQR already covers.  bf16_3x is the
+# DEFAULT: measured 2026-08-19 on the v5e (BENCH_HEADLINE n=16384 random
+# 2.18 -> 1.92 s; Poisson 2.88 s) with residuals bit-identical
+# (4.604e-14*||T||) and ortho 7.2e-12 / 7.6e-11 — both under target.
+# SE_DOWNSWEEP_PRECISION=highest opts back.
 _PRECISIONS = ("highest", "bf16_3x")
+_DEFAULT_PRECISION = "bf16_3x"
 
 
 def split_f64(v):
@@ -112,11 +115,12 @@ def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
     generate-then-dot path, ~0.14 s per level at n=16384.
 
     SE_DOWNSWEEP_PRECISION selects the MXU f32 dot tier (read OUTSIDE the
-    jit so it keys the compile cache): "highest" (default) or "bf16_3x".
+    jit so it keys the compile cache): "bf16_3x" (default) or "highest".
     """
-    prec = os.environ.get("SE_DOWNSWEEP_PRECISION", "highest").lower()
+    prec = os.environ.get("SE_DOWNSWEEP_PRECISION",
+                          _DEFAULT_PRECISION).lower()
     if prec not in _PRECISIONS:
-        prec = "highest"
+        prec = _DEFAULT_PRECISION
     return _cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
                           tj, ti, tc, prec)
 

@@ -689,6 +689,29 @@ def _compiled_orth_writeback(n: int, nparts: int):
     return jax.jit(fn, donate_argnums=(0, 1))
 
 
+# Column-count threshold below which the merge writeback scatters only the
+# replaced columns instead of re-writing all of V: the full (n, C) f64
+# gather+select pass cost ~0.12 s of the n=16384 headline's ortho_final to
+# replace FOUR columns.  Kept modest — a (n, k) lane scatter is efficient
+# for small k but the full-width pass wins once most columns change.
+_NARROW_WRITEBACK_COLS = 128
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_orth_writeback_narrow(n: int, k: int, nparts: int):
+    """Scatter ONLY the k replaced columns into V (see
+    _NARROW_WRITEBACK_COLS).  ``cols`` is padded to k with out-of-range
+    indices dropped by the scatter, so one compile serves any smaller
+    replacement set of the same padded size."""
+
+    def fn(V, Ys, cols, srcpos):
+        Ycat = jnp.concatenate(Ys, axis=1) if len(Ys) > 1 else Ys[0]
+        upd = Ycat[:, srcpos]                       # (n, k)
+        return V.at[:, cols].set(upd, mode="drop")
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
                             min_gap_factor: float = 0.0,
                             touched=None, degenerate_below: float = 0.0):
@@ -820,7 +843,16 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
                 else:
                     large.append((s, t))
                 k += 1
-        if mask.any():
+        nrep = int(mask.sum())
+        if nrep and nrep <= _NARROW_WRITEBACK_COLS:
+            k = max(8, 1 << (nrep - 1).bit_length())
+            cols = np.full(k, C, np.int64)      # pad -> dropped by scatter
+            cols[:nrep] = np.nonzero(mask)[0]
+            sp = np.zeros(k, np.int64)
+            sp[:nrep] = srcpos[cols[:nrep]]
+            V = _compiled_orth_writeback_narrow(n, k, len(Yflats))(
+                V, Yflats, jnp.asarray(cols), jnp.asarray(sp))
+        elif nrep:
             V = _compiled_orth_writeback(n, len(Yflats))(
                 V, Yflats, jnp.asarray(mask), jnp.asarray(srcpos))
         if prof_ortho:

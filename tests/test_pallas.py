@@ -21,7 +21,9 @@ def interpreted(monkeypatch):
     monkeypatch.setattr(cm.pl, "pallas_call", patched)
 
 
-def test_cauchy_matmul_interpret(interpreted, rng):
+@pytest.mark.parametrize("prec,tol", [("highest", 1e-5), ("bf16_3x", 5e-4)])
+def test_cauchy_matmul_interpret(interpreted, rng, monkeypatch, prec, tol):
+    monkeypatch.setenv("SE_DOWNSWEEP_PRECISION", prec)
     m, C = 256, 256
     poles = np.sort(rng.standard_normal(m))
     tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
@@ -38,7 +40,7 @@ def test_cauchy_matmul_interpret(interpreted, rng):
     M = (zhat[:, None] / den) * ncolinv[None, :]
     Yref = M @ X.astype(np.float64)
     rel = np.abs(Y - Yref).max() / np.abs(Yref).max()
-    assert rel < 1e-5
+    assert rel < tol
 
 
 def test_split_f64_roundtrip(rng):
@@ -56,8 +58,9 @@ def test_supported_predicate():
     assert not cm.supported(2048, 100)
 
 
-def test_cauchy_matmul_small_m(interpreted, rng):
+def test_cauchy_matmul_small_m(interpreted, rng, monkeypatch):
     # deep-tree levels: m < 512 runs with full-m tiles (no XLA fallback)
+    monkeypatch.setenv("SE_DOWNSWEEP_PRECISION", "highest")
     m, C = 64, 512
     poles = np.sort(rng.standard_normal(m))
     tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15

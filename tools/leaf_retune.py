@@ -15,6 +15,9 @@ import time
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
 LEAVES = [int(a) for a in sys.argv[2:]] or [32, 64, 128]
+# LEAF_RETUNE_VECTORS=0: eigenvalues-only sweep (the n=65536 flagship config;
+# full vectors at that size exceed one chip)
+VECTORS = os.environ.get("LEAF_RETUNE_VECTORS", "1") == "1"
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _HERE)
@@ -43,8 +46,11 @@ def main():
     e = jnp.asarray(e_np)
     norm_t = float(np.abs(d_np).max() + 2 * np.abs(e_np).max())
 
-    results = {"n": N, "backend": jax.default_backend(), "leaves": {}}
-    out_path = os.path.join(_HERE, "LEAF_RETUNE.json")
+    results = {"n": N, "backend": jax.default_backend(),
+               "vectors": VECTORS, "leaves": {}}
+    out_path = os.path.join(
+        _HERE, "LEAF_RETUNE.json" if N == 16384 and VECTORS
+        else f"LEAF_RETUNE_{N}{'' if VECTORS else '_novec'}.json")
     for leaf in LEAVES:
         cfg = SolverConfig(leaf_size=leaf, mixed_precision_vectors=True)
         plan = build_plan(N, cfg.resolved_leaf_size(N), cfg.max_leaves)
@@ -53,7 +59,7 @@ def main():
         try:
             t0 = time.perf_counter()
             res, timer = solve_tridiagonal_staged(
-                d, e, config=cfg, compute_vectors=True)
+                d, e, config=cfg, compute_vectors=VECTORS)
             sync(res)
             first = time.perf_counter() - t0
             times = []
@@ -61,19 +67,21 @@ def main():
             for _ in range(2):
                 t0 = time.perf_counter()
                 res, timer = solve_tridiagonal_staged(
-                    d, e, config=cfg, compute_vectors=True)
+                    d, e, config=cfg, compute_vectors=VECTORS)
                 sync(res)
                 times.append(time.perf_counter() - t0)
                 phases = {k: round(v, 3) for k, v in timer.times.items()}
             rel = float(jax.jit(
                 lambda d, e, lam, V: jnp.max(residual_norms(d, e, lam, V)))(
-                    d, e, res.eigenvalues, res.eigenvectors)) / norm_t
+                    d, e, res.eigenvalues, res.eigenvectors)) / norm_t \
+                if VECTORS else None
             entry = {"P": plan.num_leaves, "levels": plan.num_levels,
                      "best_s": round(min(times), 3), "first_s": round(first, 1),
                      "phases_s": phases,
-                     "max_residual_over_normT": float(f"{rel:.3e}")}
+                     "max_residual_over_normT":
+                         float(f"{rel:.3e}") if rel is not None else None}
             print(f"  best {min(times):.3f}s phases {phases} "
-                  f"rel {rel:.2e}", flush=True)
+                  f"rel {rel}", flush=True)
         except Exception as exc:  # noqa: BLE001 — probe; record and continue
             entry = {"error": repr(exc)}
             print(f"  FAILED: {exc!r}", flush=True)
