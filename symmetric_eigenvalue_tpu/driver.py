@@ -415,6 +415,16 @@ def _compiled_refine(n: int, ncols: int, config: SolverConfig, nb: int):
     return jax.jit(fn, donate_argnums=(3,))
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_spike_refine(n: int, K: int, nb: int, chunk: int):
+    """The whole chunked Pallas Spike pass in ONE jit (see _refine_ops).
+    Late-binds the module attribute so test substitutes are respected."""
+    from .kernels.pallas import spike_solve
+
+    return jax.jit(lambda d, e, lam, V: spike_solve.spike_refine(
+        d, e, lam, V, nb=nb, chunk=chunk), donate_argnums=(3,))
+
+
 def _refine_ops(d, e, n: int, C: int, config: SolverConfig):
     """The two building blocks of the refinement epilogue, shared by the
     staged path (`_refine_vectors`) and the fused small-n backtransform.
@@ -431,10 +441,20 @@ def _refine_ops(d, e, n: int, C: int, config: SolverConfig):
     use_spike = (config.use_pallas_refine and n >= 512
                  and (jax.default_backend() == "tpu"
                       or os.environ.get("SE_FORCE_SPIKE") == "1"))
+    # one dispatch for the whole chunked pass by default: eager spike_refine
+    # is 2 dispatches per column chunk (~16 ms each on the tunnel — 0.26 s
+    # of the n=16384 pass1's 0.29 s).  The jit's chunk loop unrolls with the
+    # same bounded per-chunk working set; SE_SPIKE_ONE_DISPATCH=0 opts back
+    # if a scheduler co-schedules chunks into an OOM at some new size.
+    spike_one = (os.environ.get("SE_SPIKE_ONE_DISPATCH", "1") == "1"
+                 and jax.default_backend() == "tpu")
 
     def one_pass(lam_c, V_c, nb, allow_spike=True):
         if use_spike and allow_spike:
             from .kernels.pallas.spike_solve import spike_refine
+            if spike_one:
+                return _compiled_spike_refine(n, int(lam_c.shape[0]),
+                                              nb, chunk)(d, e, lam_c, V_c)
             return spike_refine(d, e, lam_c, V_c, nb=nb, chunk=chunk)
         nc = int(lam_c.shape[0])
         if nc <= chunk:
@@ -575,8 +595,15 @@ def _compiled_fused_extra(n: int, b: int, config: SolverConfig,
                                        block=config.refine_block_alt)
         res_b = residual_norms(d, e, lam_r, Vr)
         improved = res_b < res1_idx
-        upd = jnp.where(improved[None, :], Vr, V[:, idx_safe])
-        V = V.at[:, idx].set(upd, mode="drop")
+        # NEVER a 2-D column scatter (16 MB scoped-VMEM fault on these
+        # shapes) — build the (C,) mask/srcpos with tiny 1-D scatters and
+        # merge with one full-width gather+select (the phase is still a
+        # single dispatch; the full-V pass is ~5 ms of HBM traffic).
+        C = V.shape[1]
+        mask = jnp.zeros((C + 1,), bool).at[idx].set(improved)[:C]
+        srcpos = jnp.zeros((C + 1,), idx.dtype).at[idx].set(
+            jnp.arange(b, dtype=idx.dtype))[:C]
+        V = jnp.where(mask[None, :], Vr[:, srcpos], V)
         packed = jnp.concatenate([res_b, improved.astype(res_b.dtype)])
         return V, packed
 

@@ -689,25 +689,29 @@ def _compiled_orth_writeback(n: int, nparts: int):
     return jax.jit(fn, donate_argnums=(0, 1))
 
 
-# Column-count threshold below which the merge writeback scatters only the
-# replaced columns instead of re-writing all of V: the full (n, C) f64
+# Column-count threshold below which the merge writeback updates only the
+# replaced segments instead of re-writing all of V: the full (n, C) f64
 # gather+select pass cost ~0.12 s of the n=16384 headline's ortho_final to
-# replace FOUR columns.  Kept modest — a (n, k) lane scatter is efficient
-# for small k but the full-width pass wins once most columns change.
+# replace FOUR columns.  NEVER a scatter — a 2-D column scatter on these
+# shapes busts the TPU's 16 MB scoped-VMEM limit (measured: f32[16384,16384]
+# scatter wanted 17 MB) — the segments are contiguous (s, t) column ranges,
+# so each is one static-offset dynamic_update_slice.
 _NARROW_WRITEBACK_COLS = 128
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_orth_writeback_narrow(n: int, k: int, nparts: int):
-    """Scatter ONLY the k replaced columns into V (see
-    _NARROW_WRITEBACK_COLS).  ``cols`` is padded to k with out-of-range
-    indices dropped by the scatter, so one compile serves any smaller
-    replacement set of the same padded size."""
+def _compiled_orth_writeback_dus(n: int, seg_plan, nparts: int):
+    """Per-segment dynamic_update_slice writeback for a SMALL set of
+    accepted segments.  ``seg_plan`` is a static tuple of
+    (start_col, srcpos_tuple) — everything about the copy is host-known,
+    so the jit is pure slices + tiny lane gathers (no scatter)."""
 
-    def fn(V, Ys, cols, srcpos):
+    def fn(V, Ys):
         Ycat = jnp.concatenate(Ys, axis=1) if len(Ys) > 1 else Ys[0]
-        upd = Ycat[:, srcpos]                       # (n, k)
-        return V.at[:, cols].set(upd, mode="drop")
+        for start, srcpos in seg_plan:
+            upd = Ycat[:, jnp.asarray(np.asarray(srcpos, np.int64))]
+            V = jax.lax.dynamic_update_slice(V, upd, (0, start))
+        return V
 
     return jax.jit(fn, donate_argnums=(0,))
 
@@ -832,6 +836,7 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
         mask = np.zeros(C, bool)
         srcpos = np.zeros(C, np.int64)
         k = 0
+        acc_segs = []
         for batch, base, w2, g2, narrow in metas:
             for i, (s, t) in enumerate(batch):
                 if ok_all[k]:
@@ -840,18 +845,14 @@ def orthonormalize_clusters(lam, V, norm_t, gap_factor: float = 1e-8,
                     # segment i at p*g2 + i); wide ones segment-major
                     srcpos[s:t] = (base + np.arange(t - s) * g2 + i) \
                         if narrow else (base + i * w2 + np.arange(t - s))
+                    acc_segs.append((s, tuple(int(v) for v in srcpos[s:t])))
                 else:
                     large.append((s, t))
                 k += 1
         nrep = int(mask.sum())
         if nrep and nrep <= _NARROW_WRITEBACK_COLS:
-            k = max(8, 1 << (nrep - 1).bit_length())
-            cols = np.full(k, C, np.int64)      # pad -> dropped by scatter
-            cols[:nrep] = np.nonzero(mask)[0]
-            sp = np.zeros(k, np.int64)
-            sp[:nrep] = srcpos[cols[:nrep]]
-            V = _compiled_orth_writeback_narrow(n, k, len(Yflats))(
-                V, Yflats, jnp.asarray(cols), jnp.asarray(sp))
+            V = _compiled_orth_writeback_dus(n, tuple(acc_segs),
+                                             len(Yflats))(V, Yflats)
         elif nrep:
             V = _compiled_orth_writeback(n, len(Yflats))(
                 V, Yflats, jnp.asarray(mask), jnp.asarray(srcpos))
