@@ -395,9 +395,20 @@ def main():
     # BENCH_EXTRA.json, so this stays the last stdout JSON line even if the
     # extras pass crashes or an external timeout kills the process mid-extras
     print(json.dumps(headline), flush=True)
-    try:   # belt-and-braces: persist the headline for the judge regardless
-        with open(os.path.join(_HERE, "BENCH_HEADLINE.json"), "w") as f:
-            json.dump(headline, f, indent=1)
+    try:   # belt-and-braces: persist the headline for the judge regardless.
+        # CPU verify/debug runs must not clobber the recorded TPU artifact:
+        # only overwrite when the backend matches (or nothing is recorded).
+        hpath = os.path.join(_HERE, "BENCH_HEADLINE.json")
+        prev_backend = None
+        try:
+            with open(hpath) as f:
+                prev_backend = json.load(f).get("backend")
+        except Exception:
+            pass
+        if (not _OVERRIDDEN) and (headline.get("backend") == "tpu"
+                                  or prev_backend != "tpu"):
+            with open(hpath, "w") as f:
+                json.dump(headline, f, indent=1)
     except Exception:
         pass
     if EXTRA:

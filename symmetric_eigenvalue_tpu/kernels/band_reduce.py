@@ -88,7 +88,7 @@ def _reduce_block(As, ncols: int, b: int, use_dword: bool,
         # Y^T As Y: m-length contraction — XLA's emulated-f64 matrix-matrix
         # dot is only ~1e-6-grade at these lengths on TPU (CLAUDE.md), so
         # this must ride the double-word kernel too
-        S = _mm(Yp, P_, use_dword, tm=32, tn=32)         # (b, b) = Y^T As Y
+        S = _mm(Yp, P_, use_dword, tm=32, tn=128)        # (b, b) = Y^T As Y
         W = P_ @ T - (0.5 * (Yp.T @ (T.T @ S @ T)).T).T  # (m, b)
         # As -= Y W^T + W Y^T  as one fused (m, 2b) x (2b, m) GEMM
         As = As - _mm(jnp.concatenate([Yp.T, W], axis=1),

@@ -223,6 +223,12 @@ def dword_matmul(A, B, tm: int = _TM, tn: int = _TN):
     K2, N = B.shape
     assert K == K2, (A.shape, B.shape)
     dt = A.dtype
+    # Mosaic lane-dim rule: the rhs/out blocks' LAST dim must be a multiple
+    # of 128 (or the full padded array dim) — a tn < 128 lowers fine in
+    # interpret mode but is rejected on hardware ("block shape ... divisible
+    # by 8 and 128"), so clamp; tm is a sublane dim and only needs 8.
+    tn = max(tn, 128)
+    tm = max(tm, 8)
     pm, pk, pn = (-M) % tm, (-K) % KB, (-N) % tn
     if pm or pk:
         A = jnp.pad(A, ((0, pm), (0, pk)))
