@@ -331,15 +331,35 @@ def solve_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_upsweep(n: int, config: SolverConfig, mesh_id):
+    """One jit for prescale + the whole upsweep.
+
+    The Gershgorin prescale (TPU f64 has only the f32 exponent range) and the
+    final lam rescale live INSIDE the jit: as loose jnp ops they cost ~6
+    tunnel dispatches (~16 ms each) per solve — ~0.1 s of the clustered
+    n=4096 wall.  Returns the prescaled (d, e) as device arrays too, since
+    the refinement epilogue must solve in the prescaled system."""
     plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
     mesh = mesh_id[1] if mesh_id is not None else None
-    if plan.num_levels == 0:
-        def fn(d, e):
+    nlev = plan.num_levels
+
+    def full(d, e):
+        abs_e_max = (jnp.max(jnp.abs(e)) if e.shape[0] > 0
+                     else jnp.asarray(0.0, d.dtype))
+        snorm = jnp.maximum(jnp.max(jnp.abs(d)) + 2.0 * abs_e_max,
+                            jnp.asarray(1e-30, d.dtype))
+        d = d / snorm
+        e = e / snorm
+        if nlev == 0:
             _, lam_flat, Q = _upsweep_leaf_only(d, e, plan, config)
-            return None, lam_flat, Q
-        return jax.jit(lambda d, e: fn(d, e)[1:]), plan, True
-    fn = jax.jit(lambda d, e: _upsweep(d, e, plan, config, mesh))
-    return fn, plan, False
+            reps = None
+        else:
+            reps, lam_flat, Q = _upsweep(d, e, plan, config, mesh)
+        n_ = d.shape[0]
+        lam = lam_flat[:n_] * snorm
+        out = (lam, lam_flat, Q, d, e)
+        return out if nlev == 0 else (reps,) + out
+
+    return jax.jit(full), plan, nlev == 0
 
 
 @functools.lru_cache(maxsize=32)
@@ -418,11 +438,18 @@ def _compiled_refine(n: int, ncols: int, config: SolverConfig, nb: int):
 @functools.lru_cache(maxsize=32)
 def _compiled_spike_refine(n: int, K: int, nb: int, chunk: int):
     """The whole chunked Pallas Spike pass in ONE jit (see _refine_ops).
-    Late-binds the module attribute so test substitutes are respected."""
+    Late-binds the module attribute so test substitutes are respected.
+
+    Above ~8 GB of in+out (n*K*(4+8) bytes) the unrolled chunk loop's
+    interleaved temporaries fragment HBM past capacity (n=32768 full
+    eigenpairs: 15.93/15.75 G used with only 11.88 G live, 4 G
+    fragmentation) — route those through the lax.scan chunk loop, which
+    reuses one iteration's buffers."""
     from .kernels.pallas import spike_solve
 
+    scan = float(n) * float(K) * 12.0 > 8e9
     return jax.jit(lambda d, e, lam, V: spike_solve.spike_refine(
-        d, e, lam, V, nb=nb, chunk=chunk), donate_argnums=(3,))
+        d, e, lam, V, nb=nb, chunk=chunk, scan=scan), donate_argnums=(3,))
 
 
 def _refine_ops(d, e, n: int, C: int, config: SolverConfig):
@@ -922,24 +949,17 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     mesh_key = (id(mesh), mesh) if mesh is not None else None
     fn, plan, leaf_only = _compiled_upsweep(n, config, mesh_key)
 
-    # same global prescale as _solve (TPU f64 has f32 exponent range)
-    abs_e_max = (jnp.max(jnp.abs(e)) if e.shape[0] > 0
-                 else jnp.asarray(0.0, d.dtype))
-    snorm = jnp.maximum(jnp.max(jnp.abs(d)) + 2.0 * abs_e_max,
-                        jnp.asarray(1e-30, d.dtype))
-    d = d / snorm
-    e = e / snorm
-
     from .utils.timing import sync as _sync
     if timer is None:
         timer = PhaseTimer()
+    # prescale + lam rescale happen INSIDE the upsweep jit (one dispatch);
+    # d, e come back prescaled for the refinement epilogue
     with timer.phase("eigenvalues"):
         if leaf_only:
-            lam_flat, Q = _sync(fn(d, e))
+            lam, lam_flat, Q, d, e = _sync(fn(d, e))
             reps = None
         else:
-            reps, lam_flat, Q = _sync(fn(d, e))
-    lam = lam_flat[:n] * snorm
+            reps, lam, lam_flat, Q, d, e = _sync(fn(d, e))
 
     want_vectors = compute_vectors or (select is not None)
     V = None

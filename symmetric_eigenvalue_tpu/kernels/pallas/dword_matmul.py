@@ -223,12 +223,15 @@ def dword_matmul(A, B, tm: int = _TM, tn: int = _TN):
     K2, N = B.shape
     assert K == K2, (A.shape, B.shape)
     dt = A.dtype
-    # Mosaic lane-dim rule: the rhs/out blocks' LAST dim must be a multiple
-    # of 128 (or the full padded array dim) — a tn < 128 lowers fine in
-    # interpret mode but is rejected on hardware ("block shape ... divisible
-    # by 8 and 128"), so clamp; tm is a sublane dim and only needs 8.
-    tn = max(tn, 128)
-    tm = max(tm, 8)
+    # Mosaic lane-dim rule: every block's LAST dim must be a multiple of 128
+    # (or equal the full padded array dim) — blocks that lower fine in
+    # interpret mode are rejected on hardware ("block shape ... divisible by
+    # 8 and 128").  tn is the lane dim of bsl/out blocks; tm is a sublane
+    # dim there BUT the lane dim of the sa-scales block (n_kb, tm), so BOTH
+    # must round up to 128-multiples (q8a failure: tm=32 with M=128 ->
+    # sa block (32, 32) on array (32, 128) rejected).
+    tn = 128 * ((max(tn, 1) + 127) // 128)
+    tm = 128 * ((max(tm, 1) + 127) // 128)
     pm, pk, pn = (-M) % tm, (-K) % KB, (-N) % tn
     if pm or pk:
         A = jnp.pad(A, ((0, pm), (0, pk)))

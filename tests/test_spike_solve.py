@@ -110,6 +110,23 @@ def test_chunked_matches_single(rng):
                                rtol=1e-10, atol=0)
 
 
+def test_scan_chunks_match_unrolled(rng):
+    """The lax.scan chunk loop (the n=32768 anti-fragmentation route,
+    driver._compiled_spike_refine) must equal the unrolled loop exactly —
+    same kernels, same per-chunk shapes, including a padded last chunk."""
+    from symmetric_eigenvalue_tpu.kernels.pallas.spike_solve import (
+        spike_refine)
+    n, K = 256, 2500
+    d, e, lam, B = _system(rng, n, K)
+    X1, r1 = spike_refine(d, e, lam, B, nb=128, chunk=1024, interpret=True)
+    X2, r2 = spike_refine(d, e, lam, B, nb=128, chunk=1024, interpret=True,
+                          scan=True)
+    np.testing.assert_allclose(np.asarray(X1), np.asarray(X2),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                               rtol=1e-12, atol=0)
+
+
 def test_clip_flags_residual_estimate(rng, monkeypatch):
     """When the back-substitution cascade hits the +-_BIG clip the output is
     not a solution and the free ||v||/||x|| estimate is meaningless (it came
