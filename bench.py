@@ -277,6 +277,11 @@ def run_extras(results, headline=None):
     Incremental writes: a crash or budget stop still leaves every completed
     config on disk.  Budget-aware: stop starting new configs once the total
     wall clock passes BENCH_BUDGET."""
+    # Pallas validation FIRST: an OOM-prone extras config (n=32768) leaves
+    # the in-process client with fragmented/poisoned HBM, and the q9d round-4
+    # run lost PALLAS_TPU.json to exactly that (ResourceExhausted on tiny
+    # kernels straight after the n=32768 failure).
+    _run_pallas_checks()
     extra_cfgs = [
         # (n, matrix, vectors, reps) — BASELINE.md: clustered deflation
         # stress, Poisson scheme-2, flagship-size eigenvalues-only; plus
@@ -309,6 +314,13 @@ def run_extras(results, headline=None):
                 msg = repr(exc)[:300]
                 log(f"extras: config n={n} {matrix} failed"
                     f" (attempt {attempt + 1}): {msg}")
+                # free executables + donated-buffer wreckage so the failure
+                # doesn't poison every subsequent config in this process
+                try:
+                    import jax
+                    jax.clear_caches()
+                except Exception:
+                    pass
                 if attempt == 1 or time.perf_counter() - _T_START > BUDGET:
                     results["errors"] = results.get("errors", []) + [
                         {"config": f"n{n}_{matrix}", "error": msg}]
@@ -322,7 +334,6 @@ def run_extras(results, headline=None):
             # keep the headline the most recent stdout JSON line even if an
             # external timeout kills the process during the NEXT config
             print(json.dumps(headline), flush=True)
-    _run_pallas_checks()
 
 
 def _run_pallas_checks():

@@ -503,13 +503,20 @@ def _refine_ops(d, e, n: int, C: int, config: SolverConfig):
     return one_pass, residuals_chunked
 
 
-def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
+def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None,
+                    lam_host=None, pass1_done: bool = False, res1_dev=None):
     """Mixed-precision epilogue: one f64 inverse-iteration pass restores
     working-precision residuals from the f32 downsweep; clusters that inverse
     iteration cannot separate are re-orthonormalized (dstein-style).
 
     ``subtimer`` (a PhaseTimer) records per-step walls with device syncs —
-    profiling only, the syncs serialize the epilogue's async dispatch."""
+    profiling only, the syncs serialize the epilogue's async dispatch.
+    ``lam_host``: host copy of ``lam`` if the caller already fetched it —
+    saves this function's norm_t reduction dispatch + two fetches (~80 ms
+    of the n=16384 headline's backtransformation phase).
+    ``pass1_done``: the caller already ran the first refinement pass (the
+    grouped downsweep path interleaves it with the downsweep to bound HBM);
+    ``res1_dev`` then carries its residual estimates (or None)."""
     from .kernels.refine import orthonormalize_clusters
     from .utils.timing import PhaseTimer
     from .utils.timing import sync as _sync
@@ -521,14 +528,20 @@ def _refine_vectors(d, e, lam, sel, V, config: SolverConfig, subtimer=None):
     n = int(d.shape[0])
     one_pass, residuals_chunked = _refine_ops(d, e, n, C, config)
 
-    # first inverse-iteration pass over everything
-    with subtimer.phase("refine_pass1"):
-        V, res1_dev = one_pass(lam_sel, V, config.refine_block)
-        if prof:
-            _sync(V)
+    # first inverse-iteration pass over everything (unless the caller's
+    # grouped downsweep already folded it in)
+    if not pass1_done:
+        with subtimer.phase("refine_pass1"):
+            V, res1_dev = one_pass(lam_sel, V, config.refine_block)
+            if prof:
+                _sync(V)
 
-    norm_t = float(jnp.max(jnp.abs(lam)))
-    lam_np = np.asarray(lam_sel)
+    if lam_host is not None:
+        norm_t = float(np.max(np.abs(lam_host))) if lam_host.size else 0.0
+        lam_np = lam_host[np.asarray(sel)]
+    else:
+        norm_t = float(jnp.max(jnp.abs(lam)))
+        lam_np = np.asarray(lam_sel)
 
     did_triage = config.refine_steps > 1 and C > 1
     touched = np.zeros(C, dtype=bool)
@@ -844,11 +857,17 @@ def _compiled_fused_bt(n: int, config: SolverConfig, ncols: int, sig,
 
 
 def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
-                         subtimer=None):
+                         subtimer=None, lam_np_all=None):
     """Host orchestration of the fused small-n backtransformation: plans the
     cluster orthonormalization from the already-computed eigenvalues, runs
     the single fused dispatch, then (rarely) explicit-QRs rejected/oversized
-    segments and triages risky columns exactly like the staged epilogue."""
+    segments and triages risky columns exactly like the staged epilogue.
+
+    Returns ``(V, synced)``: ``synced`` is True when no rescue/triage step
+    replaced V after the in-jit residual fetch — that fetch depends on V, so
+    V is already materialized and the caller can skip its own ~33 ms sync
+    round trip.  ``lam_np_all``: host copy of lam_flat[:n] if the caller
+    already fetched it (the staged path's phase sync does)."""
     from .kernels.refine import (_compiled_wide_orth, orth_explicit_qr,
                                  orthonormalize_clusters, plan_cluster_orth)
     from .utils.timing import PhaseTimer
@@ -858,7 +877,8 @@ def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
 
     n = int(d.shape[0])
     C = int(sel.shape[0])
-    lam_np_all = np.asarray(lam_flat[:n])     # one (n,) fetch
+    if lam_np_all is None:
+        lam_np_all = np.asarray(lam_flat[:n])     # one (n,) fetch
     lam_np = lam_np_all[np.asarray(sel)]
     norm_t = float(np.max(np.abs(lam_np_all)))
     u_f32 = float(jnp.finfo(jnp.float32).eps) / 2.0
@@ -877,6 +897,10 @@ def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
                        jnp.asarray(seg_of_col), jnp.asarray(srcpos),
                        jnp.asarray(mask_plan))
         packed = np.asarray(packed)           # the ONE fetch of the phase
+    # packed is computed FROM V inside the jit, so this fetch already
+    # materialized V; if nothing below replaces it, the caller can skip
+    # its own sync (identity tracks "replaced": jnp ops never mutate)
+    v_fetched = V
     res1 = packed[:C]
     est = packed[C:2 * C]
     ok = packed[2 * C:] > 0.5
@@ -907,7 +931,7 @@ def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
                                         gap_factor=gap_mid, touched=touched)
             if prof:
                 _sync(V)
-    return V
+    return V, V is v_fetched
 
 
 def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
@@ -935,6 +959,89 @@ def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
     return jnp.concatenate(parts, axis=1)
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_colwrite(n: int, C: int, w: int, dt_key: str):
+    """Donated in-place column-block write: X[:, o:o+w] = Xg (one dispatch).
+
+    ``o`` is a traced operand so every group of the same width shares one
+    executable; donation makes the update truly in place (no second copy of
+    the 8*n*C-byte accumulator)."""
+    def fn(X, Xg, o):
+        return jax.lax.dynamic_update_slice(
+            X, Xg.astype(X.dtype), (jnp.int32(0), o))
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def _grouped_bt_bytes() -> float:
+    """Threshold (bytes of 12*n*C) above which the staged path interleaves
+    downsweep column groups with the refinement's first pass.  Env-tunable so
+    CPU tests can exercise the grouped path at toy sizes."""
+    try:
+        return float(os.environ.get("SE_GROUPED_BT_BYTES", 8e9))
+    except ValueError:
+        return 8e9
+
+
+def _grouped_downsweep_refine(reps, Q, d, e, lam_host, sel, config, mesh,
+                              subtimer=None):
+    """Column-grouped downsweep + refinement pass 1 for huge full-eigenpair
+    solves (n=32768 class).
+
+    The plain staged path materializes the WHOLE f32 downsweep output
+    (4 bytes/elem) and then refines it into f64 vectors (8 bytes/elem): both
+    live at once is 12*n*C bytes — 12.9 GB at n=C=32768 — which plus the
+    Spike pass's working set exhausts the 16 GB chip even with the scan
+    chunk loop (round-4 q10b: generic ResourceExhausted at refine_pass1).
+    Since eigenvector columns are independent end to end (downsweep AND the
+    Spike interface solve are per-column), run both phases per column GROUP:
+    the f32 group dies (donated into the refine jit) as soon as its f64
+    refined columns land in the one preallocated output.  Peak HBM is
+    8*n*C (the result itself) + 12*n*group + solver temps, ~10.5 GB at
+    n=32768 with group=4096.
+
+    Returns ``(V_f64, res1_dev)`` with ``res1_dev`` the concatenated Spike
+    residual estimates (or None when any group used the estimate-free XLA
+    path).  Ref analog: the reference's writeResults streams eigenvectors
+    one at a time for the same never-hold-everything reason
+    (filehandling.c:369-507); this is the TPU-granularity version.
+    """
+    from .utils.timing import PhaseTimer
+    from .utils.timing import sync as _sync
+    prof = subtimer is not None
+    subtimer = subtimer if prof else PhaseTimer()
+
+    n = int(d.shape[0])
+    C = int(sel.shape[0])
+    one_pass, _ = _refine_ops(d, e, n, C, config)
+    # group size from a ~2 GB transient budget for the 12 bytes/elem of
+    # (f32 group + its f64 refined copy), multiple of 256 for the Spike
+    # kernels' column tiling
+    g = int(2e9 / (12.0 * max(n, 1)))
+    g = max(256, min(max(config.vec_chunk, 256), (g // 256) * 256))
+    sel_np = np.asarray(sel)
+    lam_sel_np = lam_host[sel_np]
+
+    X = jnp.zeros((n, C), config.dtype)
+    res_parts = []
+    with subtimer.phase("downsweep_refine_grouped"):
+        for o in range(0, C, g):
+            w = min(g, C - o)
+            sel_g = jnp.asarray(sel_np[o:o + w])
+            lam_g = jnp.asarray(lam_sel_np[o:o + w])
+            Vg = downsweep_stepped(reps, Q, n, config, sel_g, mesh)
+            Xg, rg = one_pass(lam_g, Vg, config.refine_block)
+            res_parts.append(rg)
+            X = _compiled_colwrite(n, C, w, str(config.dtype))(
+                X, Xg, np.int32(o))
+        if prof:
+            _sync(X)
+    if any(r is None for r in res_parts):
+        return X, None
+    res1_dev = (jnp.concatenate(res_parts) if len(res_parts) > 1
+                else res_parts[0])
+    return X, res1_dev
+
+
 def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
                              compute_vectors: bool = False, select=None,
                              mesh=None, timer=None):
@@ -956,10 +1063,18 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     # d, e come back prescaled for the refinement epilogue
     with timer.phase("eigenvalues"):
         if leaf_only:
-            lam, lam_flat, Q, d, e = _sync(fn(d, e))
+            lam, lam_flat, Q, d, e = fn(d, e)
             reps = None
         else:
-            reps, lam, lam_flat, Q, d, e = _sync(fn(d, e))
+            reps, lam, lam_flat, Q, d, e = fn(d, e)
+        # The phase sync doubles as the epilogue's host fetch of the
+        # prescaled eigenvalues: fetching lam_flat[:n] blocks on the whole
+        # upsweep exactly like the one-leaf _sync (one ~33 ms tunnel round
+        # trip either way), and both the fused-BT planner and the staged
+        # refine triage need exactly this array on host — each used to
+        # spend its own round trip (plus a norm_t reduction dispatch)
+        # re-fetching it.
+        lam_host = np.asarray(lam_flat[:n])
 
     want_vectors = compute_vectors or (select is not None)
     V = None
@@ -973,12 +1088,25 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
         prof = os.environ.get("SE_PROFILE_BACKTRANSFORM") == "1"
         subtimer = PhaseTimer() if prof else None
         with timer.phase("backtransformation"):
+            bt_synced = False
             if leaf_only:
                 V = Q[0][:, :n][:, sel]
             elif _fused_bt_enabled(n, config, leaf_only, mesh, want_vectors,
                                    int(sel.shape[0])):
-                V = _fused_backtransform(reps, Q, d, e, lam_flat, sel,
-                                         config, subtimer=subtimer)
+                V, bt_synced = _fused_backtransform(
+                    reps, Q, d, e, lam_flat, sel, config,
+                    subtimer=subtimer, lam_np_all=lam_host)
+            elif (config.mixed_precision_vectors
+                  and 12.0 * n * int(sel.shape[0]) > _grouped_bt_bytes()):
+                # huge full-eigenpair solves: the full f32 downsweep output
+                # plus the f64 refined vectors don't fit HBM together —
+                # interleave downsweep groups with refinement pass 1
+                V, res1_dev = _grouped_downsweep_refine(
+                    reps, Q, d, e, lam_host, sel, config, mesh,
+                    subtimer=subtimer)
+                V = _refine_vectors(d, e, lam_flat[:n], sel, V, config,
+                                    subtimer=subtimer, lam_host=lam_host,
+                                    pass1_done=True, res1_dev=res1_dev)
             else:
                 if prof:
                     with subtimer.phase("downsweep"):
@@ -990,8 +1118,10 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
                     # refine in the *prescaled* system (d, e here are already
                     # divided by snorm): shifts must match that scaling
                     V = _refine_vectors(d, e, lam_flat[:n], sel, V, config,
-                                        subtimer=subtimer)
-            V = _sync(V)
+                                        subtimer=subtimer,
+                                        lam_host=lam_host)
+            if not bt_synced:
+                V = _sync(V)
         if prof:
             for k, v in subtimer.times.items():
                 timer.times[f"bt.{k}"] = v

@@ -156,3 +156,35 @@ def test_refine_rescue_from_clipped_spike(rng, monkeypatch):
     nT = np.abs(lam).max()
     assert np.abs(T @ V - V * lam[None, :]).max() < 1e-12 * nT
     assert np.abs(V.T @ V - np.eye(n)).max() < 1e-10
+
+
+def test_grouped_downsweep_refine(rng, monkeypatch):
+    """The column-grouped downsweep+refine path (huge-n HBM bound: the full
+    f32 downsweep output never coexists with the f64 refined vectors; forced
+    here with a tiny SE_GROUPED_BT_BYTES) matches the plain staged path's
+    targets, including with a sparse selection and a non-multiple group."""
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_staged
+    n = 512
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    cfg = se.SolverConfig(leaf_size=32, vec_chunk=128,
+                          mixed_precision_vectors=True)
+    res0, _ = solve_tridiagonal_staged(d, e, compute_vectors=True, config=cfg)
+    monkeypatch.setenv("SE_GROUPED_BT_BYTES", "1")
+    res1, timer = solve_tridiagonal_staged(d, e, compute_vectors=True,
+                                           config=cfg)
+    lam0 = np.asarray(res0.eigenvalues)
+    lam1 = np.asarray(res1.eigenvalues)
+    assert np.array_equal(lam0, lam1)
+    T = dense_from_tridiag(d, e)
+    V = np.asarray(res1.eigenvectors)
+    assert V.dtype == np.float64
+    nT = np.abs(lam1).max()
+    assert np.abs(T @ V - V * lam1[None, :]).max() < 1e-12 * nT
+    assert np.abs(V.T @ V - np.eye(n)).max() < 1e-10
+
+    # sparse selection whose count is NOT a multiple of the group width
+    sel = np.arange(0, n, 3)
+    res2, _ = solve_tridiagonal_staged(d, e, select=sel, config=cfg)
+    Vs = np.asarray(res2.eigenvectors)
+    assert np.abs(T @ Vs - Vs * lam1[sel][None, :]).max() < 1e-12 * nT
