@@ -806,25 +806,34 @@ def _fused_bt_enabled(n: int, config: SolverConfig, leaf_only: bool, mesh,
         return False
 
 
-@functools.lru_cache(maxsize=16)
-def _compiled_fused_bt(n: int, config: SolverConfig, ncols: int, sig,
-                       spike: bool):
-    """ONE jit for the whole small-n backtransformation: f32 downsweep
-    (fused Pallas Cauchy matmuls) -> f64 inverse-iteration pass (Spike
-    kernels) -> bucketed cluster CholeskyQR (host-planned from lam, device
-    acceptance) -> measured residual norms.
+def _spike_refine_enabled(n: int, config: SolverConfig) -> bool:
+    """Route the f64 refinement pass through the Pallas Spike kernels."""
+    return (config.use_pallas_refine and n >= 512
+            and (jax.default_backend() == "tpu"
+                 or os.environ.get("SE_FORCE_SPIKE") == "1"))
 
-    Returns (V, packed) where packed = [res (C,), est (C,), seg_ok
-    (#planned segments,)] so the host needs exactly ONE fetch to run
-    triage.  ``sig`` is `plan_cluster_orth`'s static bucket signature."""
-    from .kernels.refine import apply_cluster_orth_plan, inverse_iteration
+
+@functools.lru_cache(maxsize=16)
+def _compiled_fused_bt_a(n: int, config: SolverConfig, ncols: int,
+                         spike: bool):
+    """Fused small-n backtransformation, part A: f32 downsweep (fused
+    Pallas Cauchy matmuls) -> f64 inverse-iteration pass (Spike kernels).
+
+    Depends on NOTHING the host computes from the eigenvalues, so the staged
+    driver dispatches it immediately after the upsweep dispatch — BEFORE the
+    blocking lam fetch — and the device rolls straight into the downsweep
+    while the host waits out the ~33 ms tunnel round trip and plans the
+    cluster orthonormalization (part B).  Splitting the round-3 single fused
+    jit in two costs one extra dispatch (~16 ms of host time, fully
+    overlapped with part A's device execution) and an HBM round trip of V.
+    Returns (V, est)."""
+    from .kernels.refine import inverse_iteration
 
     plan = build_plan(n, config.resolved_leaf_size(n), config.max_leaves)
     block = config.block_size
     chunk = max(1, min(config.vec_chunk, config.resolved_refine_chunk(n)))
 
-    def fn(reps, Q, d, e, lam_flat, sel, starts_l, widths_l, seg_of_col,
-           srcpos, mask_plan):
+    def fn(reps, Q, d, e, lam_flat, sel):
         top = jax.tree.map(lambda a: a[0], reps[-1])
         X = assemble_u(top, cols=sel, block=block, dtype=jnp.float32)
         for li in range(plan.num_levels - 2, -1, -1):
@@ -847,27 +856,49 @@ def _compiled_fused_bt(n: int, config: SolverConfig, ncols: int, sig,
             V = inverse_iteration(d, e, lam_sel, V, steps=1,
                                   block=config.refine_block)
             est = jnp.zeros((ncols,), V.dtype)
+        return V, est
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_fused_bt_b(n: int, config: SolverConfig, ncols: int, sig):
+    """Fused small-n backtransformation, part B: bucketed cluster CholeskyQR
+    (host-planned from lam, device acceptance) -> measured residual norms.
+
+    Returns (V, packed) where packed = [res (C,), est (C,), seg_ok
+    (#planned segments,)] so the host needs exactly ONE fetch to run
+    triage.  ``sig`` is `plan_cluster_orth`'s static bucket signature."""
+    from .kernels.refine import apply_cluster_orth_plan
+
+    def fn(V, est, d, e, lam_flat, sel, starts_l, widths_l, seg_of_col,
+           srcpos, mask_plan):
+        lam_sel = lam_flat[:n][sel]
         V, ok_cat = apply_cluster_orth_plan(V, sig, starts_l, widths_l,
                                             seg_of_col, srcpos, mask_plan)
         res = residual_norms(d, e, lam_sel, V)
         packed = jnp.concatenate([res, est, ok_cat.astype(res.dtype)])
         return V, packed
 
-    return jax.jit(fn)
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
-                         subtimer=None, lam_np_all=None):
+                         subtimer=None, lam_np_all=None, pre=None):
     """Host orchestration of the fused small-n backtransformation: plans the
     cluster orthonormalization from the already-computed eigenvalues, runs
-    the single fused dispatch, then (rarely) explicit-QRs rejected/oversized
+    the two fused dispatches (downsweep+refine part A — usually already
+    dispatched by the caller before the lam fetch — and planned-orth +
+    residuals part B), then (rarely) explicit-QRs rejected/oversized
     segments and triages risky columns exactly like the staged epilogue.
 
     Returns ``(V, synced)``: ``synced`` is True when no rescue/triage step
     replaced V after the in-jit residual fetch — that fetch depends on V, so
     V is already materialized and the caller can skip its own ~33 ms sync
     round trip.  ``lam_np_all``: host copy of lam_flat[:n] if the caller
-    already fetched it (the staged path's phase sync does)."""
+    already fetched it (the staged path's phase sync does).  ``pre``: the
+    already-dispatched part A outputs (V, est), letting the device overlap
+    the downsweep with the host's fetch + planning."""
     from .kernels.refine import (_compiled_wide_orth, orth_explicit_qr,
                                  orthonormalize_clusters, plan_cluster_orth)
     from .utils.timing import PhaseTimer
@@ -886,16 +917,19 @@ def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
                   config.refine_risky_gap_factor * u_f32)
     (sig, starts_l, widths_l, seg_of_col, srcpos, mask_plan, seg_ranges,
      wide) = plan_cluster_orth(lam_np, norm_t, gap_mid, C, n)
-    spike = (config.use_pallas_refine and n >= 512
-             and (jax.default_backend() == "tpu"
-                  or os.environ.get("SE_FORCE_SPIKE") == "1"))
-    fn = _compiled_fused_bt(n, config, C, sig, spike)
+    spike = _spike_refine_enabled(n, config)
     with subtimer.phase("fused_bt"):
-        V, packed = fn(reps, Q, d, e, lam_flat, sel,
-                       tuple(jnp.asarray(a) for a in starts_l),
-                       tuple(jnp.asarray(a) for a in widths_l),
-                       jnp.asarray(seg_of_col), jnp.asarray(srcpos),
-                       jnp.asarray(mask_plan))
+        if pre is None:
+            pre = _compiled_fused_bt_a(n, config, C, spike)(
+                reps, Q, d, e, lam_flat, sel)
+        V_a, est_a = pre
+        V, packed = _compiled_fused_bt_b(n, config, C, sig)(
+            V_a, est_a, d, e, lam_flat, sel,
+            tuple(jnp.asarray(a) for a in starts_l),
+            tuple(jnp.asarray(a) for a in widths_l),
+            jnp.asarray(seg_of_col), jnp.asarray(srcpos),
+            jnp.asarray(mask_plan))
+        del pre, V_a
         packed = np.asarray(packed)           # the ONE fetch of the phase
     # packed is computed FROM V inside the jit, so this fetch already
     # materialized V; if nothing below replaces it, the caller can skip
@@ -1059,6 +1093,14 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
     from .utils.timing import sync as _sync
     if timer is None:
         timer = PhaseTimer()
+    want_vectors = compute_vectors or (select is not None)
+    if select is not None:
+        sel = jnp.asarray(np.asarray(select, dtype=np.int64))
+    else:
+        sel = jnp.arange(n)
+    use_fused = want_vectors and _fused_bt_enabled(
+        n, config, leaf_only, mesh, want_vectors, int(sel.shape[0]))
+
     # prescale + lam rescale happen INSIDE the upsweep jit (one dispatch);
     # d, e come back prescaled for the refinement epilogue
     with timer.phase("eigenvalues"):
@@ -1067,6 +1109,22 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
             reps = None
         else:
             reps, lam, lam_flat, Q, d, e = fn(d, e)
+        # Enqueue the (n,)-slice BEFORE part A: the device stream is
+        # in-order, so a slice enqueued after part A would make the host's
+        # lam fetch below wait for the whole downsweep — exactly the
+        # serialization the early dispatch exists to remove.
+        lam_n = lam_flat[:n]
+        # The fused backtransformation's part A (downsweep + refine pass 1)
+        # depends on nothing the host computes, so dispatch it NOW — the
+        # device rolls from the upsweep straight into the downsweep while
+        # the host waits out the lam fetch below and plans the cluster
+        # orthonormalization (part B).
+        pre_a = None
+        if use_fused and not leaf_only:
+            pre_a = _compiled_fused_bt_a(
+                n, config, int(sel.shape[0]),
+                _spike_refine_enabled(n, config))(reps, Q, d, e, lam_flat,
+                                                  sel)
         # The phase sync doubles as the epilogue's host fetch of the
         # prescaled eigenvalues: fetching lam_flat[:n] blocks on the whole
         # upsweep exactly like the one-leaf _sync (one ~33 ms tunnel round
@@ -1074,15 +1132,10 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
         # refine triage need exactly this array on host — each used to
         # spend its own round trip (plus a norm_t reduction dispatch)
         # re-fetching it.
-        lam_host = np.asarray(lam_flat[:n])
+        lam_host = np.asarray(lam_n)
 
-    want_vectors = compute_vectors or (select is not None)
     V = None
     if want_vectors:
-        if select is not None:
-            sel = jnp.asarray(np.asarray(select, dtype=np.int64))
-        else:
-            sel = jnp.arange(n)
         # SE_PROFILE_BACKTRANSFORM=1: record per-step walls (with device
         # syncs between steps — profiling only, perturbs async overlap)
         prof = os.environ.get("SE_PROFILE_BACKTRANSFORM") == "1"
@@ -1091,11 +1144,10 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
             bt_synced = False
             if leaf_only:
                 V = Q[0][:, :n][:, sel]
-            elif _fused_bt_enabled(n, config, leaf_only, mesh, want_vectors,
-                                   int(sel.shape[0])):
+            elif use_fused:
                 V, bt_synced = _fused_backtransform(
                     reps, Q, d, e, lam_flat, sel, config,
-                    subtimer=subtimer, lam_np_all=lam_host)
+                    subtimer=subtimer, lam_np_all=lam_host, pre=pre_a)
             elif (config.mixed_precision_vectors
                   and 12.0 * n * int(sel.shape[0]) > _grouped_bt_bytes()):
                 # huge full-eigenpair solves: the full f32 downsweep output
