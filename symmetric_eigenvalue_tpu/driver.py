@@ -1067,7 +1067,12 @@ def _grouped_downsweep_refine(reps, Q, d, e, lam_host, sel, config, mesh,
             res_parts.append(rg)
             X = _compiled_colwrite(n, C, w, str(config.dtype))(
                 X, Xg, np.int32(o))
-        if prof:
+            # THROTTLE: dispatch is async and PJRT allocates every enqueued
+            # program's output buffers up front, so racing ahead enqueues
+            # all groups' downsweep+refine working sets at once — the q11a
+            # n=32768 run ResourceExhausted on a tiny host upload with 7
+            # groups in flight.  One ~33 ms element fetch per group bounds
+            # live groups to one; negligible next to a group's ~1 s of work.
             _sync(X)
     if any(r is None for r in res_parts):
         return X, None
