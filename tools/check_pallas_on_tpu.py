@@ -25,9 +25,28 @@ from symmetric_eigenvalue_tpu.kernels.pallas.cauchy_matmul import (
 from symmetric_eigenvalue_tpu.kernels.pallas.dword_matvec import dword_vecmat
 
 
-def check_cauchy(m=16384, C=2048, seed=0):
+def check_cauchy(m=16384, C=2048, seed=0, precision=None):
     """Fused Cauchy matmul vs the XLA f64-generate + f32-dot path at the
-    n=16384 bench shape (m slots x vec_chunk columns)."""
+    n=16384 bench shape (m slots x vec_chunk columns).
+
+    ``precision`` pins SE_DOWNSWEEP_PRECISION for the call (None = shipped
+    default): each MXU dot tier has its own accuracy grade — "highest" is
+    ~1e-7, "bf16_3x" ~1.5e-5 by design (cauchy_matmul.py:26-39) — so the
+    gate must be tier-aware (ADVICE r4 medium)."""
+    saved = os.environ.get("SE_DOWNSWEEP_PRECISION")
+    if precision is not None:
+        os.environ["SE_DOWNSWEEP_PRECISION"] = precision
+    try:
+        return _check_cauchy_impl(m, C, seed, precision or "default")
+    finally:
+        if precision is not None:
+            if saved is None:
+                os.environ.pop("SE_DOWNSWEEP_PRECISION", None)
+            else:
+                os.environ["SE_DOWNSWEEP_PRECISION"] = saved
+
+
+def _check_cauchy_impl(m, C, seed, tier):
     rng = np.random.default_rng(seed)
     poles = np.sort(rng.standard_normal(m))
     tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
@@ -54,7 +73,8 @@ def check_cauchy(m=16384, C=2048, seed=0):
         jnp.asarray(zhat), jnp.asarray(ncolinv), jnp.asarray(X)))
     scale = np.abs(Yx).max()
     diff = np.abs(Y - Yx).max()
-    print(f"cauchy_matmul   m={m} C={C}: max|pallas-xla|={diff:.3e} "
+    print(f"cauchy_matmul   m={m} C={C} tier={tier}: "
+          f"max|pallas-xla|={diff:.3e} "
           f"(scale {scale:.3e}, rel {diff/scale:.3e})")
     return diff / scale
 
@@ -246,15 +266,24 @@ def run_all(write: bool = True) -> dict:
 
     Callable in-process (bench.py's extras pass regenerates the artifact each
     round — VERDICT r3 #8) as well as from the CLI below."""
-    r1 = check_cauchy()
-    r1b = check_cauchy(m=64, C=2048, seed=1)   # small-m full-tile path
+    # the cauchy MXU dot tier is selectable (SE_DOWNSWEEP_PRECISION): check
+    # BOTH tiers against their own by-design grades — "highest" is ~6 bf16
+    # passes (~1e-7), "bf16_3x" (the shipped default) captures ~16 mantissa
+    # bits (~1.5e-5); gate at the matching test tolerances (ADVICE r4).
+    r1h = check_cauchy(precision="highest")
+    r1hb = check_cauchy(m=64, C=2048, seed=1,
+                        precision="highest")   # small-m full-tile path
+    r1x = check_cauchy(precision="bf16_3x")
+    r1xb = check_cauchy(m=64, C=2048, seed=1, precision="bf16_3x")
     r2 = check_dword_matvec()
     r3 = check_dword_matmul()
     r4 = check_cauchy_rowsum()
     r5, r5b = check_secular_sums()
     r6, r6gm = check_dword_slicing()
     r7, r7e = check_spike_solve()
-    ok = (r1 < 1e-6 and r1b < 1e-6 and r2 < 1e-12 and r3 < 1e-12
+    ok = (r1h < 1e-6 and r1hb < 1e-6
+          and r1x < 1e-4 and r1xb < 1e-4
+          and r2 < 1e-12 and r3 < 1e-12
           and r4 < 1e-11 and r5 < 1e-12 and r5b < 1e-5
           and r6 < 1e-13 and r6gm == 0.0
           and r7 < 1.5 and r7e < 1e-12)
@@ -266,8 +295,10 @@ def run_all(write: bool = True) -> dict:
         "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "backend": jax.default_backend(),
         "rel_errors": {
-            "cauchy_matmul_m16384_C2048": float(f"{r1:.3e}"),
-            "cauchy_matmul_m64_C2048": float(f"{r1b:.3e}"),
+            "cauchy_matmul_highest_m16384_C2048": float(f"{r1h:.3e}"),
+            "cauchy_matmul_highest_m64_C2048": float(f"{r1hb:.3e}"),
+            "cauchy_matmul_bf16_3x_m16384_C2048": float(f"{r1x:.3e}"),
+            "cauchy_matmul_bf16_3x_m64_C2048": float(f"{r1xb:.3e}"),
             "dword_vecmat_n4096": float(f"{r2:.3e}"),
             "dword_matmul_2048x512x2048": float(f"{r3:.3e}"),
             "cauchy_rowsum_m16384": float(f"{r4:.3e}"),
@@ -293,4 +324,4 @@ if __name__ == "__main__":
         sys.exit(1)
     out = run_all()
     print("OK" if out["ok"] else "FAIL")
-    sys.exit(0 if ok else 1)
+    sys.exit(0 if out["ok"] else 1)
