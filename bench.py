@@ -220,9 +220,17 @@ def run_config(n, seed, matrix, vectors, reps, baseline_cap=None):
     norm_t = float(np.abs(d_np).max() + 2 * np.abs(e_np).max())
     extra_checks = {}
     if vectors:
-        rel = float(jax.jit(
-            lambda d, e, lam, V: jnp.max(residual_norms(d, e, lam, V)))(
-                d, e, lam, V)) / norm_t
+        C = int(V.shape[1])
+        if float(n) * C * 8.0 * 3.0 > 12e9:
+            # full-width residual matvec would OOM next to the live V at
+            # n>=32768 (T@V temporaries ~2x V) — one chunked dispatch instead
+            from symmetric_eigenvalue_tpu.driver import _compiled_residuals
+            res_all = np.asarray(_compiled_residuals(n, C, 2048)(d, e, lam, V))
+            rel = float(res_all.max()) / norm_t
+        else:
+            rel = float(jax.jit(
+                lambda d, e, lam, V: jnp.max(residual_norms(d, e, lam, V)))(
+                    d, e, lam, V)) / norm_t
         log(f"max residual: {rel*norm_t:.3e}  (= {rel:.3e} * ||T||)")
     else:
         if matrix == "poisson":
@@ -401,7 +409,12 @@ def main():
     except Exception:
         pass
 
-    headline = run_config(N, SEED, MATRIX, VECTORS, REPS)
+    # BENCH_BASELINE_CAP=<seconds>: skip measuring an uncached host-dstevd
+    # baseline predicted to exceed the cap (manual big-n diagnostics must not
+    # burn hours re-timing LAPACK; cached values are always used)
+    cap = os.environ.get("BENCH_BASELINE_CAP")
+    headline = run_config(N, SEED, MATRIX, VECTORS, REPS,
+                          baseline_cap=float(cap) if cap else None)
     # print the headline JSON line IMMEDIATELY: extras only log to stderr and
     # BENCH_EXTRA.json, so this stays the last stdout JSON line even if the
     # extras pass crashes or an external timeout kills the process mid-extras

@@ -32,6 +32,41 @@ def default_unit_roundoff(dtype=jnp.float64) -> float:
     return float(jnp.finfo(dtype).eps)
 
 
+def _usable_hbm_bytes() -> float:
+    """Usable device-memory budget for the byte-budgeted chunk formulas.
+
+    Order: SE_HBM_BYTES env override; the device's own
+    ``memory_stats()['bytes_limit']`` scaled by 0.9 (allocator headroom —
+    the scheduler keeps transient buffers beyond any single formula's
+    model); else 14.5e9, the measured-usable share of this machine's
+    16 GB v5e.  Cached: devices() can hang ~minutes when the TPU tunnel
+    is down, so probe once per process."""
+    global _HBM_CACHE
+    if _HBM_CACHE is not None:
+        return _HBM_CACHE
+    import os
+    val = None
+    env = os.environ.get("SE_HBM_BYTES")
+    if env:
+        try:
+            val = float(env)
+        except ValueError:
+            val = None
+    if val is None:
+        try:
+            stats = jax.devices()[0].memory_stats()
+            limit = float(stats.get("bytes_limit", 0.0)) if stats else 0.0
+            if limit > 1e9:
+                val = 0.9 * limit
+        except Exception:
+            val = None
+    _HBM_CACHE = val if val is not None else 14.5e9
+    return _HBM_CACHE
+
+
+_HBM_CACHE: Optional[float] = None
+
+
 @dataclasses.dataclass(frozen=True)
 class SolverConfig:
     """Static configuration for the Cuppen divide-and-conquer solver.
@@ -169,10 +204,12 @@ class SolverConfig:
         both live, so the real peak is 12*n^2 + 200*n*chunk.  A fixed
         refine_chunk=2048 OOM'd the 16 GB chip at n=32768 (round-3
         BENCH_EXTRA: ~20 x 256 MB f32[32768,2048] X64Split temps).  Budget
-        against ~14.5 GB usable HBM, floored at 256 and capped at the
-        configured refine_chunk — n<=16384 keeps chunk 2048 (measured-good),
-        n=32768 resolves to 256."""
-        budget = 14.5e9 - 12.0 * float(n) * float(n)
+        against the device's usable HBM (memory_stats when the backend
+        exposes it, SE_HBM_BYTES override, else ~14.5 GB — this machine's
+        v5e), floored at 256 and capped at the configured refine_chunk —
+        n<=16384 keeps chunk 2048 (measured-good), n=32768 resolves to
+        256."""
+        budget = _usable_hbm_bytes() - 12.0 * float(n) * float(n)
         cols = int(budget / (200.0 * max(n, 1)))
         chunk = 256
         while chunk * 2 <= cols and chunk * 2 <= self.refine_chunk:

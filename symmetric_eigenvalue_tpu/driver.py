@@ -953,6 +953,18 @@ def _fused_backtransform(reps, Q, d, e, lam_flat, sel, config: SolverConfig,
             V = orth_explicit_qr(V, bad)
     sentinel = (est > 1e29) if spike else np.zeros(C, dtype=bool)
     one_pass, residuals_chunked = _refine_ops(d, e, n, C, config)
+    if bad or wide:
+        # res1 was measured inside part B, BEFORE the rescue QR above —
+        # for columns in rescued segments the triage acceptance
+        # (res_b < res1) would compare a re-solve against a STALE pre-QR
+        # baseline and could replace a post-QR column with a worse one.
+        # Re-measure just those columns (rescues are rare and bucket-sized).
+        ridx = np.unique(np.concatenate(
+            [np.arange(s, t) for s, t in (list(bad) + list(wide))]))
+        if ridx.size:
+            lam_r = lam_flat[:n][sel][jnp.asarray(ridx)]
+            res1 = res1.copy()
+            res1[ridx] = residuals_chunked(lam_r, V[:, jnp.asarray(ridx)])
     V, touched = _triage_passes(d, e, lam_flat[:n][sel], V, res1, sentinel,
                                 norm_t, config, one_pass, residuals_chunked,
                                 subtimer, prof)
