@@ -51,6 +51,44 @@ def _gram_block_err(n: int, chunk: int, dtype_name: str, use_dword: bool):
     return jax.jit(f, static_argnames=())
 
 
+@functools.lru_cache(maxsize=None)
+def _cross_gram_err(ga: int, gb: int, chunk: int, dtype_name: str,
+                    use_dword: bool):
+    """jit(Va, Vb, r0) -> max |(Vaᵀ Vb)[r0:r0+chunk, :]| (off-basis Gram)."""
+
+    def f(Va, Vb, r0):
+        Vt = jax.lax.dynamic_slice_in_dim(Va.T, r0, chunk, axis=0)
+        if use_dword:
+            from ..kernels.pallas.dword_matmul import dword_matmul
+            G = dword_matmul(Vt, Vb)
+        else:
+            G = Vt @ Vb
+        rows = r0 + jnp.arange(chunk)[:, None]
+        return jnp.max(jnp.where(rows < ga, jnp.abs(G), 0.0))
+
+    return jax.jit(f)
+
+
+def max_cross_ortho_error(Va, Vb, row_chunk: int = 2048) -> float:
+    """max |Vaᵀ Vb| between two disjoint eigenvector column groups.
+
+    Used by the streamed huge-n full-eigenpair runs, where the basis never
+    fits on device at once: adjacent groups carry the near-degenerate
+    cluster risk, so their cross-Gram plus each group's own
+    :func:`max_ortho_error` covers mutual orthogonality without holding
+    the whole basis."""
+    ga = int(Va.shape[1])
+    use_dword = jax.default_backend() == "tpu"
+    chunk = min(row_chunk, ga)
+    fn = _cross_gram_err(ga, int(Vb.shape[1]), chunk, str(Va.dtype),
+                         use_dword)
+    worst = 0.0
+    for r0 in range(0, ga, chunk):
+        r0 = min(r0, ga - chunk)
+        worst = max(worst, float(fn(Va, Vb, r0)))
+    return worst
+
+
 def max_ortho_error(V, row_chunk: int = 2048) -> float:
     """max |VᵀV - I| of an (n, n) eigenvector matrix, f64-grade, blocked.
 
