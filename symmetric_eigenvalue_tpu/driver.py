@@ -1292,22 +1292,25 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
     if A.shape != (n, n):
         raise ValueError("A must be square")
 
+    # Two-stage SBR on TPU ALWAYS runs staged (any n): the in-jit wave
+    # chase is one dispatch, and the platform watchdog kills dispatches
+    # over ~40-70 s (round-4 q8a "TPU device error" at n >= 1024).
+    if band > 0:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if on_tpu or (not eigvals_only
+                      and n > config.resolved_single_jit_max_n()):
+            lam, X = _eigh_two_stage_staged(A, config, eigvals_only,
+                                            mesh, int(band))
+            return lam if eigvals_only else (lam, X)
+
     # Above the single-jit limit, run the dense pipeline in stages (mirrors
     # solve_tridiagonal's auto-route): jit front-end -> staged tridiagonal
     # solve -> jit backtransform stage(s), donating the big buffers
     # between stages so peak HBM stays bounded at the headline sizes.
     if (not eigvals_only) and n > config.resolved_single_jit_max_n():
-        if band > 0:
-            d, e, Yt, tau, vlog = _compiled_band_frontend(
-                n, str(A.dtype), int(band))(A)
-            res, _ = solve_tridiagonal_staged(
-                d, e, config=config, compute_vectors=True, mesh=mesh)
-            W = _compiled_apply_q2w(
-                n, int(band), int(res.eigenvectors.shape[1]),
-                str(A.dtype))(vlog, res.eigenvectors)
-            X = _compiled_apply_q(n, int(W.shape[1]), str(A.dtype),
-                                  int(band))(Yt, tau, W)
-            return res.eigenvalues, X
         d, e, Vt, tau = _compiled_tridiagonalize(
             n, str(A.dtype), panel)(A)
         res, _ = solve_tridiagonal_staged(
@@ -1327,19 +1330,45 @@ def eigh(A, *, config: SolverConfig = DEFAULT_CONFIG,
 
 
 @functools.lru_cache(maxsize=8)
-def _compiled_band_frontend(n: int, dtype_name: str, band: int):
-    """Staged two-stage SBR front-end: dense -> band -> tridiagonal, one jit.
+def _compiled_band_frontend(n: int, dtype_name: str, band: int,
+                            want_reflectors: bool = True):
+    """Staged two-stage SBR stage 1 (dense -> band) as one jit.
 
-    Donates A (dead after stage 1); returns (d, e, Yt, taus, vlog) for the
-    staged solve + apply_q2_wave_blocked + apply_q backtransform chain."""
-    from .kernels.band_reduce import band_to_tridiag_wave, reduce_to_band
+    Donates A (dead after stage 1); returns (B, Yt, taus).  Stage 2 (the
+    wave chase) runs SEGMENTED on the host (band_to_tridiag_wave_staged):
+    a single-dispatch chase trips the platform's ~40-70 s execution
+    watchdog at n >= 1024 (round-4 q8a crash)."""
+    from .kernels.band_reduce import reduce_to_band
 
     def fn(A):
-        B, Yt, taus = reduce_to_band(A, band, buckets=4 if n >= 8192 else 1)
-        d, e, vlog = band_to_tridiag_wave(B, band)
-        return d, e, Yt, taus, vlog
+        return reduce_to_band(A, band, buckets=4 if n >= 8192 else 1,
+                              want_reflectors=want_reflectors)
 
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def _eigh_two_stage_staged(A, config: SolverConfig, eigvals_only: bool,
+                           mesh, band: int):
+    """Host-orchestrated two-stage dense path: jit stage 1 -> segmented
+    wave chase -> staged tridiagonal solve -> Q2/Q1 backtransform jits.
+    Used for ALL band>0 solves on TPU (watchdog, see above) and above the
+    single-jit size limit elsewhere."""
+    from .kernels.band_reduce import band_to_tridiag_wave_staged
+
+    n = int(A.shape[0])
+    dt = str(A.dtype)
+    B, Yt, taus = _compiled_band_frontend(n, dt, band, not eigvals_only)(A)
+    d, e, vlog = band_to_tridiag_wave_staged(B, band,
+                                             want_log=not eigvals_only)
+    res, _ = solve_tridiagonal_staged(
+        d, e, config=config, compute_vectors=not eigvals_only, mesh=mesh)
+    if eigvals_only:
+        return res.eigenvalues, None
+    W = _compiled_apply_q2w(
+        n, int(band), int(res.eigenvectors.shape[1]), dt)(
+            vlog, res.eigenvectors)
+    X = _compiled_apply_q(n, int(W.shape[1]), dt, int(band))(Yt, taus, W)
+    return res.eigenvalues, X
 
 
 @functools.lru_cache(maxsize=8)

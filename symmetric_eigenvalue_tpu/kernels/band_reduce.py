@@ -31,6 +31,9 @@ bucketed trailing sizes).
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -278,9 +281,7 @@ def band_to_tridiag_wave(B, band: int, want_log: bool = True):
         tw = jnp.zeros((max(n - 1, 1), Kmax), dtype)
         return jnp.diagonal(B), jnp.diagonal(B, offset=1), (Vw, tw)
 
-    W5 = 5 * b - 2                    # window width (cols [r-2b+1, r+3b-2])
     OFF = 2 * b                       # live region offset in the padded array
-    NPARK = n + 8 * b                 # parking row for inactive slots
     NP = n + 11 * b                   # padded size (park window stays inside)
 
     P = jnp.zeros((NP, NP), dtype)
@@ -289,6 +290,41 @@ def band_to_tridiag_wave(B, band: int, want_log: bool = True):
     Vw = jnp.zeros((nlog, Kmax, b), dtype)    # row n-2 = parking
     tw = jnp.zeros((nlog, Kmax), dtype)
 
+    body = _chase_wave_body(n, b, want_log, _chase_update_mode())
+    P, Vw, tw = lax.fori_loop(0, Twaves, body, (P, Vw, tw))
+    d = jnp.diagonal(P)[OFF: OFF + n]
+    e = jnp.diagonal(P, offset=1)[OFF: OFF + n - 1]
+    return d, e, (Vw, tw)
+
+
+def _chase_update_mode() -> str:
+    """P-window write implementation (SE_WAVE_UPDATE override).
+
+    Measured on v5e (n=512, b=128, warm): the natural 2-axis advanced-index
+    scatter AND its linearized 1-D form both cost ~24 ms per wave (XLA
+    copies the whole padded P per scatter), while the per-slot
+    ``dynamic_update_slice`` loop runs IN PLACE at ~0.2 ms/wave — 120x.
+    The scatter forms also push a single-dispatch chase past the platform's
+    ~40-70 s execution watchdog at n >= 1024, which surfaces as
+    "UNAVAILABLE: TPU device error" (the round-4 q8a crash).  CPU keeps the
+    scatter (its XLA in-places it and vectorizes better there)."""
+    update = os.environ.get("SE_WAVE_UPDATE")
+    if update is None:
+        try:
+            update = ("dus" if jax.default_backend() == "tpu"
+                      else "scatter2d")
+        except Exception:  # pragma: no cover
+            update = "scatter2d"
+    return update
+
+
+def _chase_wave_body(n: int, b: int, want_log: bool, update: str):
+    """One wavefront step (shared by the in-jit and the segmented chase)."""
+    Kmax, Wmax, Twaves = _wave_geometry(n, b)
+    W5 = 5 * b - 2
+    OFF = 2 * b
+    NPARK = n + 8 * b
+    NP = n + 11 * b
     rowr = jnp.arange(b)
     colr = jnp.arange(W5)
     slots = jnp.arange(Wmax)
@@ -336,9 +372,32 @@ def band_to_tridiag_wave(B, band: int, want_log: bool = True):
         cols_idx = rp[:, None] - (2 * b - 1) + colr[None, :]   # (W, W5)
         # in-wave windows are exactly disjoint; parked slots all write the
         # same zeros, so duplicate indices are value-identical
-        P = P.at[rows_idx[:, :, None], cols_idx[:, None, :]].set(S)
-        P = P.at[cols_idx[:, :, None], rows_idx[:, None, :]].set(
-            jnp.transpose(S, (0, 2, 1)))
+        if update == "scatter2d":
+            P = P.at[rows_idx[:, :, None], cols_idx[:, None, :]].set(S)
+            P = P.at[cols_idx[:, :, None], rows_idx[:, None, :]].set(
+                jnp.transpose(S, (0, 2, 1)))
+        elif update == "scatter1d":
+            # the 2-axis advanced-index scatter above faults the v5e device
+            # (q8a round 5, any n): linearize to ONE index dim — the same
+            # 1-D scatter shape the tearing/Jacobi paths use safely on TPU
+            ri = rows_idx.astype(jnp.int32)
+            ci = cols_idx.astype(jnp.int32)
+            lin_rc = (ri[:, :, None] * NP + ci[:, None, :]).reshape(-1)
+            lin_cr = (ci[:, :, None] * NP + ri[:, None, :]).reshape(-1)
+            Pf = P.reshape(-1)
+            Pf = Pf.at[lin_rc].set(S.reshape(-1))
+            Pf = Pf.at[lin_cr].set(
+                jnp.transpose(S, (0, 2, 1)).reshape(-1))
+            P = Pf.reshape(NP, NP)
+        else:  # "dus": per-slot dynamic_update_slice (scatter-free fallback)
+            def write_slot(w, P):
+                Sw = S[w]
+                P = lax.dynamic_update_slice(
+                    P, Sw, (rp[w], rp[w] - (2 * b - 1)))
+                P = lax.dynamic_update_slice(
+                    P, Sw.T, (rp[w] - (2 * b - 1), rp[w]))
+                return P
+            P = lax.fori_loop(0, rp.shape[0], write_slot, P)
 
         if want_log:
             jsafe = jnp.where(valid, jj, n - 2)
@@ -347,9 +406,65 @@ def band_to_tridiag_wave(B, band: int, want_log: bool = True):
             tw = tw.at[jsafe, ksafe].set(jnp.where(valid, tau, 0.0))
         return P, Vw, tw
 
-    P, Vw, tw = lax.fori_loop(0, Twaves, wave_body, (P, Vw, tw))
-    d = jnp.diagonal(P)[OFF: OFF + n]
-    e = jnp.diagonal(P, offset=1)[OFF: OFF + n - 1]
+    return wave_body
+
+
+@functools.lru_cache(maxsize=16)
+def _staged_chase_fns(n: int, b: int, want_log: bool, dtype_name: str,
+                      update: str):
+    """(init, segment, finish) jits for the host-segmented wave chase."""
+    dtype = jnp.dtype(dtype_name)
+    Kmax, Wmax, Twaves = _wave_geometry(n, b)
+    OFF = 2 * b
+    NP = n + 11 * b
+    nlog = n - 1 if want_log else 1
+    body = _chase_wave_body(n, b, want_log, update)
+
+    def init(B):
+        P = jnp.zeros((NP, NP), dtype)
+        P = lax.dynamic_update_slice(P, B, (OFF, OFF))
+        Vw = jnp.zeros((nlog, Kmax, b), dtype)
+        tw = jnp.zeros((nlog, Kmax), dtype)
+        return P, Vw, tw
+
+    def segment(P, Vw, tw, t0, t1):
+        # traced bounds -> while_loop: one executable serves every segment
+        return lax.fori_loop(t0, t1, body, (P, Vw, tw))
+
+    def finish(P):
+        d = jnp.diagonal(P)[OFF: OFF + n]
+        e = jnp.diagonal(P, offset=1)[OFF: OFF + n - 1]
+        return d, e
+
+    return (jax.jit(init, donate_argnums=(0,)),
+            jax.jit(segment, donate_argnums=(0, 1, 2)),
+            jax.jit(finish))
+
+
+def band_to_tridiag_wave_staged(B, band: int, want_log: bool = True,
+                                seg_waves: int = 0):
+    """Host-segmented :func:`band_to_tridiag_wave`: identical math, but the
+    wave loop runs as ceil(Twaves/seg_waves) separate donated dispatches.
+
+    A single-dispatch chase is killed by the platform's execution watchdog
+    above ~40-70 s of device time (the round-4 q8a "TPU device error" at
+    n >= 1024); segmenting bounds each dispatch while donation keeps the
+    (P, Vw, tw) state in place.  ``seg_waves`` 0 = SE_CHASE_SEG_WAVES or
+    8192 (~2-8 s/segment at the measured ~0.2-1 ms/wave dus rate)."""
+    n = B.shape[0]
+    b = int(band)
+    if n < 3 or b < 2:
+        return band_to_tridiag_wave(B, band, want_log=want_log)
+    if not seg_waves:
+        seg_waves = int(os.environ.get("SE_CHASE_SEG_WAVES", "8192"))
+    _, _, Twaves = _wave_geometry(n, b)
+    init, segment, finish = _staged_chase_fns(
+        n, b, want_log, str(B.dtype), _chase_update_mode())
+    P, Vw, tw = init(B)
+    for t0 in range(0, Twaves, seg_waves):
+        P, Vw, tw = segment(P, Vw, tw, jnp.int32(t0),
+                            jnp.int32(min(t0 + seg_waves, Twaves)))
+    d, e = finish(P)
     return d, e, (Vw, tw)
 
 
@@ -422,6 +537,7 @@ def apply_q2_wave_blocked(n: int, band: int, vlog, X):
 
     Xp = jnp.zeros((n + 2 * h, C), X.dtype)
     Xp = Xp.at[:n].set(X)
+    update = _chase_update_mode()
     slots = jnp.arange(Smax)
     gr = jnp.arange(g)
     hr = jnp.arange(h)
@@ -459,6 +575,15 @@ def apply_q2_wave_blocked(n: int, band: int, vlog, X):
         W1 = jnp.einsum("shg,shc->sgc", Y, G)
         W2 = jnp.einsum("sgf,sfc->sgc", Tm, W1)
         G = G - jnp.einsum("shg,sgc->shc", Y, W2)
+        if update == "dus":
+            # in-place row-block writes: the batched row scatter costs
+            # ~150 ns/element on TPU (whole-buffer copy per wave) while
+            # dynamic_update_slice aliases — see _chase_update_mode.
+            # Parked slots write transformed zeros into the pad rows.
+            def write_slot(s, Xp):
+                return lax.dynamic_update_slice(
+                    Xp, G[s], (basep[s], jnp.zeros((), basep.dtype)))
+            return lax.fori_loop(0, Smax, write_slot, Xp)
         return Xp.at[rows_idx].set(G)
 
     Xp = lax.fori_loop(0, Twaves, body, Xp)
