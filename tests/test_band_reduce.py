@@ -169,3 +169,48 @@ def test_reduce_to_band_bucketed_matches(rng):
     assert np.abs(np.asarray(t1) - np.asarray(t4)).max() < 1e-14
     B4 = np.asarray(B4)
     assert np.abs(B4 - B4.T).max() == 0.0
+
+
+def test_staged_chase_matches_single_jit(rng):
+    """band_to_tridiag_wave_staged (host-segmented dispatches, donated
+    carry) must be BIT-identical to the in-jit chase: same body, same
+    order, only the dispatch boundaries differ."""
+    from symmetric_eigenvalue_tpu.kernels.band_reduce import (
+        band_to_tridiag_wave, band_to_tridiag_wave_staged)
+
+    n, b = 130, 8
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    A[np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) > b] = 0.0
+    d1, e1, (V1, t1) = band_to_tridiag_wave(jnp.asarray(A), b)
+    d2, e2, (V2, t2) = band_to_tridiag_wave_staged(jnp.asarray(A), b,
+                                                   seg_waves=37)
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() == 0.0
+    assert np.abs(np.asarray(e1) - np.asarray(e2)).max() == 0.0
+    assert np.abs(np.asarray(V1) - np.asarray(V2)).max() == 0.0
+    assert np.abs(np.asarray(t1) - np.asarray(t2)).max() == 0.0
+
+
+def test_wave_update_modes_agree(rng, monkeypatch):
+    """The three P-window write implementations (2-D scatter, linearized 1-D
+    scatter, per-slot dynamic_update_slice) are mathematically identical;
+    TPU defaults to 'dus' (the scatters cost ~24 ms/wave there and trip the
+    execution watchdog — see _chase_update_mode)."""
+    from symmetric_eigenvalue_tpu.kernels.band_reduce import (
+        apply_q2_wave_blocked, band_to_tridiag_wave)
+
+    n, b = 100, 8
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    A[np.abs(np.arange(n)[:, None] - np.arange(n)[None, :]) > b] = 0.0
+    X = rng.standard_normal((n, 5))
+    outs = []
+    for mode in ("scatter2d", "scatter1d", "dus"):
+        monkeypatch.setenv("SE_WAVE_UPDATE", mode)
+        d, e, vlog = band_to_tridiag_wave(jnp.asarray(A), b)
+        Y = apply_q2_wave_blocked(n, b, vlog, jnp.asarray(X))
+        outs.append((np.asarray(d), np.asarray(e), np.asarray(Y)))
+    for d, e, Y in outs[1:]:
+        assert np.abs(d - outs[0][0]).max() < 1e-13
+        assert np.abs(e - outs[0][1]).max() < 1e-13
+        assert np.abs(Y - outs[0][2]).max() < 1e-13
