@@ -1336,8 +1336,8 @@ def _compiled_band_frontend(n: int, dtype_name: str, band: int,
 
     Donates A (dead after stage 1); returns (B, Yt, taus).  Stage 2 (the
     wave chase) runs SEGMENTED on the host (band_to_tridiag_wave_staged):
-    a single-dispatch chase trips the platform's ~40-70 s execution
-    watchdog at n >= 1024 (round-4 q8a crash)."""
+    a long-running single-dispatch chase kills the device at n >= 1024
+    (round-4 q8a crash; see _chase_update_mode)."""
     from .kernels.band_reduce import reduce_to_band
 
     def fn(A):

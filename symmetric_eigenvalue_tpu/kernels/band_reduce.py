@@ -304,10 +304,11 @@ def _chase_update_mode() -> str:
     scatter AND its linearized 1-D form both cost ~24 ms per wave (XLA
     copies the whole padded P per scatter), while the per-slot
     ``dynamic_update_slice`` loop runs IN PLACE at ~0.2 ms/wave — 120x.
-    The scatter forms also push a single-dispatch chase past the platform's
-    ~40-70 s execution watchdog at n >= 1024, which surfaces as
-    "UNAVAILABLE: TPU device error" (the round-4 q8a crash).  CPU keeps the
-    scatter (its XLA in-places it and vectorizes better there)."""
+    Scatter-heavy dispatches running past ~40-70 s also kill the device
+    ("UNAVAILABLE: TPU device error", the round-4 q8a crash) — not a pure
+    time watchdog (a ~500 s GEMM-heavy dispatch survives), so both levers
+    apply: DUS writes AND the segmented chase.  CPU keeps the scatter (its
+    XLA in-places it and vectorizes better there)."""
     update = os.environ.get("SE_WAVE_UPDATE")
     if update is None:
         try:
