@@ -436,7 +436,8 @@ def _compiled_refine(n: int, ncols: int, config: SolverConfig, nb: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_spike_refine(n: int, K: int, nb: int, chunk: int):
+def _compiled_spike_refine(n: int, K: int, nb: int, chunk: int,
+                           force_scan: bool = False):
     """The whole chunked Pallas Spike pass in ONE jit (see _refine_ops).
     Late-binds the module attribute so test substitutes are respected.
 
@@ -444,10 +445,14 @@ def _compiled_spike_refine(n: int, K: int, nb: int, chunk: int):
     interleaved temporaries fragment HBM past capacity (n=32768 full
     eigenpairs: 15.93/15.75 G used with only 11.88 G live, 4 G
     fragmentation) — route those through the lax.scan chunk loop, which
-    reuses one iteration's buffers."""
+    reuses one iteration's buffers.  ``force_scan``: the caller knows the
+    rest of HBM is already committed (the grouped huge-n path keeps the
+    full 8*n*C f64 output resident, so even a per-GROUP unrolled loop's
+    co-scheduled chunk temporaries OOM — round-5 q1a died on a 16 KB
+    upload with ~5 GB of interleaved spike temps next to the 8.6 GB X)."""
     from .kernels.pallas import spike_solve
 
-    scan = float(n) * float(K) * 12.0 > 8e9
+    scan = force_scan or float(n) * float(K) * 12.0 > 8e9
     return jax.jit(lambda d, e, lam, V: spike_solve.spike_refine(
         d, e, lam, V, nb=nb, chunk=chunk, scan=scan), donate_argnums=(3,))
 
@@ -476,13 +481,19 @@ def _refine_ops(d, e, n: int, C: int, config: SolverConfig):
     spike_one = (os.environ.get("SE_SPIKE_ONE_DISPATCH", "1") == "1"
                  and jax.default_backend() == "tpu")
 
+    # the grouped huge-n path keeps the full 8*n*C output resident: force
+    # the scan chunk loop inside every spike jit (see _compiled_spike_refine)
+    force_scan = 12.0 * float(n) * float(C) > _grouped_bt_bytes()
+
     def one_pass(lam_c, V_c, nb, allow_spike=True):
         if use_spike and allow_spike:
             from .kernels.pallas.spike_solve import spike_refine
             if spike_one:
-                return _compiled_spike_refine(n, int(lam_c.shape[0]),
-                                              nb, chunk)(d, e, lam_c, V_c)
-            return spike_refine(d, e, lam_c, V_c, nb=nb, chunk=chunk)
+                return _compiled_spike_refine(
+                    n, int(lam_c.shape[0]), nb, chunk,
+                    force_scan)(d, e, lam_c, V_c)
+            return spike_refine(d, e, lam_c, V_c, nb=nb, chunk=chunk,
+                                scan=force_scan)
         nc = int(lam_c.shape[0])
         if nc <= chunk:
             return _compiled_refine(n, nc, config, nb)(d, e, lam_c, V_c), None
