@@ -192,8 +192,10 @@ def _apply_u_matmul(rep: MergeRep, X, block: int):
         from .pallas.cauchy_matmul import cauchy_matmul, supported
         if supported(m, X.shape[1]):
             shift_val = rep.poles_sec[rep.shift_idx]
+            # kact=rep.K: survivors-first slot order + zero ncol_inv past K
+            # let the kernel skip deflated contraction blocks bit-exactly
             yb = cauchy_matmul(rep.poles_sec, shift_val, rep.tau,
-                               rep.zhat, ncol_inv, Xs)
+                               rep.zhat, ncol_inv, Xs, kact=rep.K)
             passthrough = (slots >= rep.K)[:, None]
             return yb + jnp.where(passthrough, Xs, jnp.zeros_like(yb))
         _warn_pallas_fallback(m, X.shape[1])

@@ -54,58 +54,66 @@ def _two_sum(a, b):
     return s, err
 
 
-def _kernel(ph, plo, svh, svl, th, tl, z, ninv, x, out, *, prec):
+def _kernel(kact, ph, plo, svh, svl, th, tl, z, ninv, x, out, *, prec, ti):
     i = pl.program_id(2)
-
-    pj_h = ph[0, :][:, None]      # (TJ, 1)
-    pj_l = plo[0, :][:, None]
-    sv_h = svh[0, :][None, :]     # (1, TI)
-    sv_l = svl[0, :][None, :]
-    tt_h = th[0, :][None, :]
-    tt_l = tl[0, :][None, :]
-
-    # den = (p_j - sv_i) - tau_i in double-f32
-    s1, e1 = _two_sum(pj_h, -sv_h)
-    e1 = e1 + (pj_l - sv_l)
-    s2, e2 = _two_sum(s1, -tt_h)
-    e2 = e2 + (e1 - tt_l)
-    dh = s2 + e2
-    dl = e2 - (dh - s2)
-
-    zz = z[0, :][:, None]         # (TJ, 1)
-    q = zz / dh
-    q = q - q * (dl / dh)         # first-order correction of the pair divide
-    m = q * ninv[0, :][None, :]
 
     @pl.when(i == 0)
     def _():
         out[:] = jnp.zeros_like(out)
 
-    # never DEFAULT alone: a single bf16 MXU pass (~4e-3 rel) would swamp
-    # the refinement's contamination model
-    dims = (((1,), (0,)), ((), ()))
-    if prec == "bf16_3x":
-        mh = m.astype(jnp.bfloat16)
-        ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
-        xv = x[:]
-        xh = xv.astype(jnp.bfloat16)
-        xl = (xv - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(mh, xh, dims,
-                                  preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(mh, xl, dims,
-                                   preferred_element_type=jnp.float32)
-        acc += jax.lax.dot_general(ml, xh, dims,
-                                   preferred_element_type=jnp.float32)
-        out[:] += acc
-    else:
-        out[:] += jax.lax.dot_general(
-            m, x[:], dims,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+    # DEFLATION SKIP: contraction slots are ordered survivors-first (slot <
+    # rep.K active, the rest identity-passthrough with ncolinv == 0), so
+    # i-blocks entirely past kact contribute exact zeros — skip their
+    # generation and MXU passes.  Heavy-deflation spectra (Poisson: ~37
+    # survivors per thousands-wide merge) skip almost the whole grid.
+    @pl.when(i * ti < kact[0, 0])
+    def _():
+        pj_h = ph[0, :][:, None]      # (TJ, 1)
+        pj_l = plo[0, :][:, None]
+        sv_h = svh[0, :][None, :]     # (1, TI)
+        sv_l = svl[0, :][None, :]
+        tt_h = th[0, :][None, :]
+        tt_l = tl[0, :][None, :]
+
+        # den = (p_j - sv_i) - tau_i in double-f32
+        s1, e1 = _two_sum(pj_h, -sv_h)
+        e1 = e1 + (pj_l - sv_l)
+        s2, e2 = _two_sum(s1, -tt_h)
+        e2 = e2 + (e1 - tt_l)
+        dh = s2 + e2
+        dl = e2 - (dh - s2)
+
+        zz = z[0, :][:, None]         # (TJ, 1)
+        q = zz / dh
+        q = q - q * (dl / dh)         # first-order correction of the pair divide
+        m = q * ninv[0, :][None, :]
+
+        # never DEFAULT alone: a single bf16 MXU pass (~4e-3 rel) would swamp
+        # the refinement's contamination model
+        dims = (((1,), (0,)), ((), ()))
+        if prec == "bf16_3x":
+            mh = m.astype(jnp.bfloat16)
+            ml = (m - mh.astype(jnp.float32)).astype(jnp.bfloat16)
+            xv = x[:]
+            xh = xv.astype(jnp.bfloat16)
+            xl = (xv - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(mh, xh, dims,
+                                      preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(mh, xl, dims,
+                                       preferred_element_type=jnp.float32)
+            acc += jax.lax.dot_general(ml, xh, dims,
+                                       preferred_element_type=jnp.float32)
+            out[:] += acc
+        else:
+            out[:] += jax.lax.dot_general(
+                m, x[:], dims,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
 
 
 def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
-                  tj: int = 256, ti: int = 512, tc: int = 512):
+                  tj: int = 256, ti: int = 512, tc: int = 512,
+                  kact=None):
     """Y (m, C) f32 = M @ X with M generated on the fly.
 
     poles/shift_val/tau: f64 (m,); zhat/ncolinv: (m,) any float; X: (m, C) f32.
@@ -114,6 +122,12 @@ def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
     (m = 64..256) would otherwise fall back to the XLA emulated-f64
     generate-then-dot path, ~0.14 s per level at n=16384.
 
+    ``kact``: traced count of ACTIVE contraction slots (the merge's
+    surviving secular roots, rep.K).  Slots are ordered survivors-first and
+    ncolinv is 0 past kact, so contraction blocks beyond it contribute
+    exact zeros — the kernel skips them (same output bit-for-bit).  None =
+    all m slots active.
+
     SE_DOWNSWEEP_PRECISION selects the MXU f32 dot tier (read OUTSIDE the
     jit so it keys the compile cache): "bf16_3x" (default) or "highest".
     """
@@ -121,13 +135,15 @@ def cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
                           _DEFAULT_PRECISION).lower()
     if prec not in _PRECISIONS:
         prec = _DEFAULT_PRECISION
+    if kact is None:
+        kact = poles.shape[0]
     return _cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
-                          tj, ti, tc, prec)
+                          jnp.asarray(kact), tj, ti, tc, prec)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("tj", "ti", "tc", "prec"))
-def _cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
+def _cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X, kact,
                    tj: int = 256, ti: int = 512, tc: int = 512,
                    prec: str = "highest"):
     m = poles.shape[0]
@@ -140,24 +156,27 @@ def _cauchy_matmul(poles, shift_val, tau, zhat, ncolinv, X,
     z32 = zhat.astype(jnp.float32)
     n32 = ncolinv.astype(jnp.float32)
     X = X.astype(jnp.float32)
+    k32 = jnp.asarray(kact, jnp.int32).reshape(1, 1)
 
     grid = (m // tj, C // tc, m // ti)
     # under jax_enable_x64 the index-map constants trace as i64, which Mosaic
     # cannot legalize ("func.return (i32, i64, i32)"); trace the kernel x32
     with jax.enable_x64(False):
-        return _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X,
+        return _call(grid, k32, ph, plo, svh, svl, th, tl, z32, n32, X,
                      tj, ti, tc, m, C, prec)
 
 
-def _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X, tj, ti, tc, m, C,
-          prec="highest"):
+def _call(grid, k32, ph, plo, svh, svl, th, tl, z32, n32, X, tj, ti, tc,
+          m, C, prec="highest"):
     def vec_spec(tile, pick):
         return pl.BlockSpec((1, tile), pick, memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_kernel, prec=prec),
+        functools.partial(_kernel, prec=prec, ti=ti),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda j, c, i: (0, 0),
+                         memory_space=pltpu.SMEM),  # kact (scalar)
             vec_spec(tj, lambda j, c, i: (0, j)),   # poles hi
             vec_spec(tj, lambda j, c, i: (0, j)),   # poles lo
             vec_spec(ti, lambda j, c, i: (0, i)),   # shift hi
@@ -172,7 +191,7 @@ def _call(grid, ph, plo, svh, svl, th, tl, z32, n32, X, tj, ti, tc, m, C,
         out_specs=pl.BlockSpec((tj, tc), lambda j, c, i: (j, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, C), jnp.float32),
-    )(ph[None, :], plo[None, :], svh[None, :], svl[None, :],
+    )(k32, ph[None, :], plo[None, :], svh[None, :], svl[None, :],
       th[None, :], tl[None, :], z32[None, :], n32[None, :], X)
 
 

@@ -102,3 +102,30 @@ def test_cauchy_rowsum_interpret(rng):
             assert crs.supported(m, 2)
     finally:
         crs.pl.pallas_call = orig
+
+
+def test_cauchy_matmul_deflation_skip(interpreted, rng, monkeypatch):
+    """kact < m must skip whole contraction blocks bit-exactly: slots are
+    survivors-first and ncolinv is zero past kact, so the skipped blocks'
+    contributions were exact zeros anyway (Poisson-style heavy deflation)."""
+    monkeypatch.setenv("SE_DOWNSWEEP_PRECISION", "bf16_3x")
+    m, C, K = 1024, 512, 300
+    poles = np.sort(rng.standard_normal(m))
+    shift = poles[rng.integers(0, m, m)]
+    tau = rng.standard_normal(m) * 1e-8
+    zhat = rng.standard_normal(m)
+    ninv = np.abs(rng.standard_normal(m)) + 0.5
+    ninv[K:] = 0.0                      # deflated slots contribute nothing
+    X = rng.standard_normal((m, C)).astype(np.float32)
+    args = tuple(jnp.asarray(a) for a in (poles, shift, tau, zhat, ninv, X))
+    Y_full = np.asarray(cm.cauchy_matmul(*args))
+    Y_skip = np.asarray(cm.cauchy_matmul(*args, kact=K))
+    assert np.array_equal(Y_full, Y_skip)
+    # batched (vmapped) form — the apply_u_level path
+    Kv = jnp.asarray([K, m], dtype=jnp.int32)
+    argsb = tuple(jnp.stack([a, a]) for a in args)
+    Yb = np.asarray(jax.vmap(
+        lambda p, s, t, z, nv, x, k: cm.cauchy_matmul(
+            p, s, t, z, nv, x, kact=k))(*argsb, Kv))
+    assert np.array_equal(Yb[0], Y_full)
+    assert np.array_equal(Yb[1], Y_full)
