@@ -6,6 +6,10 @@ cd /root/repo
 export PYTHONPATH=.:/root/.axon_site
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
+echo "=== q2p: refresh on-TPU kernel validation (kernel changed) ==="
+timeout 2400 python tools/check_pallas_on_tpu.py 2>&1 | tail -15
+echo "q2p exit=$?"
+
 echo "=== q2a: n=32768 full eigenpairs retry (force_scan) ==="
 BENCH_N=32768 BENCH_MATRIX=random BENCH_VECTORS=1 BENCH_REPS=1 \
   BENCH_BASELINE_CAP=1 \
