@@ -159,6 +159,33 @@ def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None,
     act = slots < rep.K
     ncol = rep.colnorm[slots]
 
+    # mixed-precision fast path: VMEM pair-f32 generation (the XLA emulated
+    # f64 generate-and-divide was the single biggest downsweep piece at the
+    # ROOT — DOWNSWEEP_LEVELS.json r5)
+    import os
+    use_pallas = False
+    if dtype == jnp.float32 and os.environ.get(
+            "SE_ROOT_MATERIALIZE", "0") == "1":
+        # default OFF until the round's on-TPU validation flips it: the
+        # kernel is interpret-tested but Mosaic-new this session
+        try:
+            use_pallas = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover
+            use_pallas = False
+    if use_pallas:
+        from .pallas.cauchy_matmul import (cauchy_materialize,
+                                           materialize_supported)
+        C = int(slots.shape[0])
+        if materialize_supported(m, C):
+            shift_sel = rep.poles_sec[rep.shift_idx[slots]]
+            tau_sel = rep.tau[slots]
+            ninv_sel = jnp.where(act, 1.0 / ncol, jnp.zeros_like(ncol))
+            u = cauchy_materialize(rep.poles_sec, shift_sel, tau_sel,
+                                   rep.zhat, ninv_sel, slots, rep.K)
+            u = _replay_rotations_rows(rep, u)
+            return u[jnp.argsort(rep.p12)]
+        _warn_pallas_fallback(m, C)
+
     def row_block(rows):
         denom = _denom_block(rep, rows, slots)
         u = rep.zhat[rows][:, None] / denom / ncol[None, :]

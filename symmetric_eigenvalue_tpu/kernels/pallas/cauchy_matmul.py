@@ -199,3 +199,94 @@ def supported(m: int, C: int, tj=256, ti=512, tc=512) -> bool:
     if m < ti:                      # full-m tiles for small merges
         return m % 8 == 0 and C % tc == 0
     return m % tj == 0 and m % ti == 0 and C % tc == 0
+
+
+def _mat_kernel(kact, ph, plo, svh, svl, th, tl, z, ninv, slot, out, *, tj):
+    """Materialize a U tile: Cauchy entries for active columns, e_slot
+    passthrough for deflated ones (assemble_u's row_block, in VMEM pair-f32
+    instead of XLA emulated f64 — the ROOT of the downsweep)."""
+    j = pl.program_id(0)
+
+    sv_h = svh[0, :][None, :]     # (1, TC) per-column shift/tau/norm/slot
+    sv_l = svl[0, :][None, :]
+    tt_h = th[0, :][None, :]
+    tt_l = tl[0, :][None, :]
+    sl = slot[0, :][None, :]
+
+    pj_h = ph[0, :][:, None]      # (TJ, 1) per-row poles/zhat
+    pj_l = plo[0, :][:, None]
+    zz = z[0, :][:, None]
+
+    s1, e1 = _two_sum(pj_h, -sv_h)
+    e1 = e1 + (pj_l - sv_l)
+    s2, e2 = _two_sum(s1, -tt_h)
+    e2 = e2 + (e1 - tt_l)
+    dh = s2 + e2
+    dl = e2 - (dh - s2)
+
+    q = zz / dh
+    q = q - q * (dl / dh)
+    u = q * ninv[0, :][None, :]
+
+    rows = j * tj + jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    act = sl < kact[0, 0]
+    eye = (rows == sl).astype(u.dtype)
+    out[:] = jnp.where(act, u, eye)
+
+
+@functools.partial(jax.jit, static_argnames=("tj", "tc"))
+def cauchy_materialize(poles, shift_val, tau, zhat, ncolinv, slots, kact,
+                       tj: int = 256, tc: int = 512):
+    """U[:, sel] (m, C) f32 materialized on the fly (no matmul).
+
+    Per-COLUMN inputs are already gathered for the selected slots:
+    shift_val/tau (C,) f64, ncolinv (C,) (0 for deflated slots), slots (C,)
+    int; per-ROW inputs poles/zhat (m,).  kact = rep.K: columns with
+    slot >= kact are identity passthrough e_slot.  Entry formula and pair
+    arithmetic identical to the fused matmul kernel above; f32-grade output
+    is the mixed-precision downsweep's contract (refinement absorbs it,
+    exactly as for every non-root level).
+    """
+    m = poles.shape[0]
+    C = slots.shape[0]
+    tj = min(tj, m)
+    ph, plo = split_f64(poles)
+    svh, svl = split_f64(shift_val)
+    th, tl = split_f64(tau)
+    z32 = zhat.astype(jnp.float32)
+    n32 = ncolinv.astype(jnp.float32)
+    sl32 = jnp.asarray(slots, jnp.int32)
+    k32 = jnp.asarray(kact, jnp.int32).reshape(1, 1)
+
+    grid = (m // tj, C // tc)
+
+    def vec_j(pick=lambda j, c: (0, j)):
+        return pl.BlockSpec((1, tj), pick, memory_space=pltpu.VMEM)
+
+    def vec_c(pick=lambda j, c: (0, c)):
+        return pl.BlockSpec((1, tc), pick, memory_space=pltpu.VMEM)
+
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_mat_kernel, tj=tj),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda j, c: (0, 0),
+                             memory_space=pltpu.SMEM),   # kact
+                vec_j(), vec_j(),                        # poles hi/lo
+                vec_c(), vec_c(),                        # shift hi/lo
+                vec_c(), vec_c(),                        # tau hi/lo
+                vec_j(),                                 # zhat
+                vec_c(),                                 # ncolinv
+                vec_c(),                                 # slots
+            ],
+            out_specs=pl.BlockSpec((tj, tc), lambda j, c: (j, c),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, C), jnp.float32),
+        )(k32, ph[None, :], plo[None, :], svh[None, :], svl[None, :],
+          th[None, :], tl[None, :], z32[None, :], n32[None, :],
+          sl32[None, :])
+
+
+def materialize_supported(m: int, C: int, tj=256, tc=512) -> bool:
+    return (m % min(tj, m) == 0 and m % 8 == 0 and C % tc == 0)

@@ -129,3 +129,31 @@ def test_cauchy_matmul_deflation_skip(interpreted, rng, monkeypatch):
             p, s, t, z, nv, x, kact=k))(*argsb, Kv))
     assert np.array_equal(Yb[0], Y_full)
     assert np.array_equal(Yb[1], Y_full)
+
+
+def test_cauchy_materialize_interpret(interpreted, rng):
+    """cauchy_materialize (VMEM pair-f32 U generation, the downsweep ROOT)
+    vs the XLA f64 row_block formula, incl. deflated identity columns."""
+    m, C, K = 1024, 512, 700
+    poles = np.sort(rng.standard_normal(m))
+    shift_idx = rng.integers(0, m, m)
+    tau = rng.standard_normal(m) * 1e-8
+    zhat = rng.standard_normal(m)
+    ncol = np.abs(rng.standard_normal(m)) + 0.5
+    slots = rng.permutation(m)[:C]
+    act = slots < K
+    ninv = np.where(act, 1.0 / ncol[slots], 0.0)
+    U = np.asarray(cm.cauchy_materialize(
+        jnp.asarray(poles), jnp.asarray(poles[shift_idx[slots]]),
+        jnp.asarray(tau[slots]), jnp.asarray(zhat), jnp.asarray(ninv),
+        jnp.asarray(slots), K))
+    denom = (poles[:, None] - poles[shift_idx[slots]][None, :]) \
+        - tau[slots][None, :]
+    ref = zhat[:, None] / denom / ncol[slots][None, :]
+    ref = np.where(act[None, :], ref,
+                   (np.arange(m)[:, None] == slots[None, :]))
+    scale = np.abs(ref).max()
+    assert np.abs(U - ref).max() / scale < 1e-6
+    # identity columns are EXACT
+    assert np.array_equal(U[:, ~act],
+                          (np.arange(m)[:, None] == slots[None, ~act]))
