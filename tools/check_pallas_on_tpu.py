@@ -261,6 +261,66 @@ def check_spike_solve(n=4096, K=2048, seed=0):
     return ratio, r_est
 
 
+def check_cauchy_deflation_skip(m=4096, C=2048, K=137, seed=2):
+    """kact-skip path: BIT-exact vs the full-contraction kernel (slots are
+    survivors-first; ncolinv zero past K makes skipped blocks exact zeros)."""
+    rng = np.random.default_rng(seed)
+    poles = np.sort(rng.standard_normal(m))
+    tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
+    shift_val = poles.copy()
+    zhat = rng.standard_normal(m) * 0.1
+    ncolinv = np.abs(rng.standard_normal(m)) + 0.1
+    ncolinv[K:] = 0.0
+    X = rng.standard_normal((m, C)).astype(np.float32)
+    args = tuple(jnp.asarray(a)
+                 for a in (poles, shift_val, tau, zhat, ncolinv, X))
+    Yf = np.asarray(cauchy_matmul(*args))
+    Ys = np.asarray(cauchy_matmul(*args, kact=K))
+    diff = np.abs(Yf - Ys).max()
+    print(f"cauchy_deflskip m={m} C={C} K={K}: max|full-skip|={diff:.3e} "
+          f"(must be 0)")
+    return diff
+
+
+def check_cauchy_materialize(m=16384, C=2048, K=9000, seed=3):
+    """VMEM pair-f32 U materialization (downsweep ROOT) vs the XLA f64
+    row_block formula, incl. deflated identity columns."""
+    from symmetric_eigenvalue_tpu.kernels.pallas.cauchy_matmul import \
+        cauchy_materialize
+    rng = np.random.default_rng(seed)
+    poles = np.sort(rng.standard_normal(m))
+    shift_idx = rng.integers(0, m, m)
+    tau = np.abs(rng.standard_normal(m)) * 1e-3 + 1e-15
+    zhat = rng.standard_normal(m) * 0.1
+    ncol = np.abs(rng.standard_normal(m)) + 0.5
+    slots = rng.permutation(m)[:C]
+    act = slots < K
+    ninv = np.where(act, 1.0 / ncol[slots], 0.0)
+    U = np.asarray(cauchy_materialize(
+        jnp.asarray(poles), jnp.asarray(poles[shift_idx[slots]]),
+        jnp.asarray(tau[slots]), jnp.asarray(zhat), jnp.asarray(ninv),
+        jnp.asarray(slots), K))
+
+    @jax.jit
+    def xla_path():
+        denom = (jnp.asarray(poles)[:, None]
+                 - jnp.asarray(poles[shift_idx[slots]])[None, :]) \
+            - jnp.asarray(tau[slots])[None, :]
+        u = jnp.asarray(zhat)[:, None] / denom / jnp.asarray(
+            ncol[slots])[None, :]
+        eye = (jnp.arange(m)[:, None] == jnp.asarray(slots)[None, :])
+        return jnp.where(jnp.asarray(act)[None, :], u, eye.astype(u.dtype))
+
+    ref = np.asarray(xla_path())
+    scale = np.abs(ref).max()
+    rel = np.abs(U - ref).max() / scale
+    eye_exact = np.array_equal(
+        U[:, ~act], (np.arange(m)[:, None] == slots[None, ~act]))
+    print(f"cauchy_material m={m} C={C} K={K}: rel={rel:.3e} "
+          f"eye_exact={eye_exact}")
+    return rel, eye_exact
+
+
 def run_all(write: bool = True) -> dict:
     """Run every on-hardware kernel check; optionally write PALLAS_TPU.json.
 
@@ -281,12 +341,15 @@ def run_all(write: bool = True) -> dict:
     r5, r5b = check_secular_sums()
     r6, r6gm = check_dword_slicing()
     r7, r7e = check_spike_solve()
+    r8 = check_cauchy_deflation_skip()
+    r9, r9eye = check_cauchy_materialize()
     ok = (r1h < 1e-6 and r1hb < 1e-6
           and r1x < 1e-4 and r1xb < 1e-4
           and r2 < 1e-12 and r3 < 1e-12
           and r4 < 1e-11 and r5 < 1e-12 and r5b < 1e-5
           and r6 < 1e-13 and r6gm == 0.0
-          and r7 < 1.5 and r7e < 1e-12)
+          and r7 < 1.5 and r7e < 1e-12
+          and r8 == 0.0 and r9 < 1e-5 and r9eye)
     # machine-readable artifact: real-hardware kernel validation must be
     # driver-durable, not hand-copied prose (VERDICT r2)
     import json
@@ -308,6 +371,9 @@ def run_all(write: bool = True) -> dict:
             "dword_slicing_grid_offsets": float(r6gm),
             "spike_refine_res_ratio_vs_xla_n4096_K2048": float(f"{r7:.3e}"),
             "spike_refine_res_est_err": float(f"{r7e:.3e}"),
+            "cauchy_deflation_skip_bitexact_diff": float(r8),
+            "cauchy_materialize_m16384_C2048": float(f"{r9:.3e}"),
+            "cauchy_materialize_eye_exact": bool(r9eye),
         },
         "ok": bool(ok),
     }
