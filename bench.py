@@ -193,11 +193,31 @@ def run_config(n, seed, matrix, vectors, reps, baseline_cap=None):
     d = jnp.asarray(d_np)
     e = jnp.asarray(e_np)
 
-    def run():
-        res, timer = solve_tridiagonal_staged(
-            d, e, config=cfg, compute_vectors=vectors)
-        sync(res)
-        return res, timer
+    # At single-jit sizes the library's primary entry point
+    # (solve_tridiagonal: ONE dispatch + one fetch) beats the staged path's
+    # dispatch/fetch latency outright — clustered n=4096 measured 0.2297 s
+    # vs 0.3718 staged (CLUSTERED_SINGLEJIT.json, r5) at equal accuracy.
+    # The staged path keeps the per-phase timers for larger n (and is the
+    # only route above single_jit_max anyway).
+    single = (vectors and n <= cfg.resolved_single_jit_max_n()
+              and os.environ.get("BENCH_SINGLE_JIT", "1") == "1")
+    if single:
+        from symmetric_eigenvalue_tpu.driver import solve_tridiagonal
+        from symmetric_eigenvalue_tpu.utils.timing import PhaseTimer
+
+        def run():
+            timer = PhaseTimer()
+            with timer.phase("total"):
+                res = solve_tridiagonal(d, e, config=cfg,
+                                        compute_vectors=True)
+                sync(res)
+            return res, timer
+    else:
+        def run():
+            res, timer = solve_tridiagonal_staged(
+                d, e, config=cfg, compute_vectors=vectors)
+            sync(res)
+            return res, timer
 
     t0 = time.perf_counter()
     res, timer = run()
