@@ -274,16 +274,73 @@ def apply_u(rep: MergeRep, X, block: int = 2048):
     return _apply_u_finish(rep, _apply_u_matmul(rep, X, block))
 
 
+def _replay_rotations_level(reps, y):
+    """Inverse Givens replay for a WHOLE level at once: y (k, m, C).
+
+    The per-merge ``lax.map`` replay is sequential over merges — k stacked
+    fori loops of ~0.4 ms each, 0.48 s at the Poisson n=16384 m=128 level
+    (DOWNSWEEP_LEVELS_POISSON.json, r5) where nearly every pole deflates.
+    Rotations are index-disjoint ACROSS merges (each acts inside its own
+    m-row block), so one global wave loop over the flattened (k*m, C)
+    array applies every merge's wave-w rotations in one batched
+    gather/compute/scatter — per-LEVEL latency instead of per-merge.
+    Global wave order w = max(nwave)..1 preserves each merge's own
+    descending wave order (a merge simply has no rotations above its
+    nwave).  Light-deflation levels keep the per-merge path: the global
+    loop pays O(max nwave) full (k*m, C) passes regardless of rotation
+    count, and per-merge `sequential` is cheaper when rotations are rare.
+    """
+    k, m, C = y.shape
+
+    def batched(y):
+        yf = y.reshape(k * m, C)
+        upad = jnp.concatenate([yf, jnp.zeros((1, C), yf.dtype)])
+        valid = (jnp.arange(m, dtype=reps.nrot.dtype)[None, :]
+                 < reps.nrot[:, None])                       # (k, m)
+        off = (jnp.arange(k, dtype=reps.rot_a.dtype) * m)[:, None]
+        park = k * m
+        nw_max = jnp.max(reps.nwave)
+
+        def body(wi, upad):
+            w = nw_max - wi
+            mask = valid & (reps.rot_wave == w)
+            a = jnp.where(mask, reps.rot_a + off, park).reshape(-1)
+            b = jnp.where(mask, reps.rot_b + off, park).reshape(-1)
+            c = jnp.where(mask, reps.rot_c,
+                          1.0).astype(yf.dtype).reshape(-1)[:, None]
+            s = jnp.where(mask, reps.rot_s,
+                          0.0).astype(yf.dtype).reshape(-1)[:, None]
+            ua = upad[a]
+            ub = upad[b]
+            upad = upad.at[a].set(c * ua + s * ub)
+            upad = upad.at[b].set(-s * ua + c * ub)
+            return upad
+
+        upad = lax.fori_loop(0, nw_max, body, upad)
+        return upad[:k * m].reshape(k, m, C)
+
+    def per_merge(y):
+        return lax.map(lambda args: _replay_rotations_rows(*args), (reps, y))
+
+    heavy = (jnp.sum(reps.nrot) > 64 * k) \
+        & (jnp.max(reps.nwave) <= _WAVE_LIMIT)
+    return lax.cond(heavy, batched, per_merge, y)
+
+
 def apply_u_level(reps, X, block: int = 2048):
     """Batched apply_u over one tree level: reps (k-stacked), X (k, m, C).
 
-    The matmul phase is vmapped; the rotation replay runs under lax.map
-    (sequential over merges) because vmapping its dynamic row updates turns
-    them into scatters whose per-op VMEM footprint blows the 16 MB limit for
-    wide C.  Total replay cost stays proportional to the actual rotation count.
+    The matmul phase is vmapped (fused Pallas Cauchy kernel with the
+    deflation skip); the rotation replay is level-batched for
+    heavy-deflation levels and per-merge sequential otherwise
+    (:func:`_replay_rotations_level` — vmapping the dynamic row updates
+    would turn them into scatters whose per-op VMEM footprint blows the
+    16 MB limit for wide C).
     """
     y0 = jax.vmap(lambda r, Xb: _apply_u_matmul(r, Xb, block))(reps, X)
-    return lax.map(lambda args: _apply_u_finish(*args), (reps, y0))
+    y = _replay_rotations_level(reps, y0)
+    inv_rows = jax.vmap(jnp.argsort)(reps.p12)               # (k, m)
+    return jnp.take_along_axis(y, inv_rows[:, :, None], axis=1)
 
 
 def rows_through_merge(rep: MergeRep, w, block: int = 2048):

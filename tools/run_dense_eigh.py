@@ -239,7 +239,18 @@ def main():
             v_path = "/tmp/dense_eigh_V.npy"
             t0 = time.perf_counter()
             np.save(lam_path, np.asarray(lam))
-            np.save(v_path, np.asarray(V))      # 2.1 GB tunnel fetch: slow
+            # fetch V in COLUMN CHUNKS: a whole-array fetch stages a full
+            # device copy on the tunneled platform, and with HBM already
+            # fragmented post-OOM even that staging RESOURCE_EXHAUSTS
+            # (round-5 q2c died exactly here)
+            V_np = np.empty(V.shape, np.asarray(lam).dtype)
+            step = 2048
+            for o in range(0, V.shape[1], step):
+                w = min(step, V.shape[1] - o)
+                V_np[:, o:o + w] = np.asarray(
+                    jax.lax.dynamic_slice_in_dim(V, o, w, axis=1))
+            np.save(v_path, V_np)
+            del V_np
             print(f"  persisted eigenpairs in {time.perf_counter()-t0:.1f}s;"
                   " spawning fresh-process checker", flush=True)
             _write(result)
