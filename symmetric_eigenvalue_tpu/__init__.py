@@ -37,6 +37,7 @@ from .driver import (  # noqa: E402
     residuals,
     solve_tridiagonal,
     solve_tridiagonal_staged,
+    solve_tridiagonal_streamed,
 )
 
 __all__ = [
@@ -53,6 +54,7 @@ __all__ = [
     "residuals",
     "solve_tridiagonal",
     "solve_tridiagonal_staged",
+    "solve_tridiagonal_streamed",
     "tridiag_matvec",
 ]
 

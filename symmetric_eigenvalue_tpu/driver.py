@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -1206,6 +1207,90 @@ def solve_tridiagonal_staged(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
             for k, v in subtimer.times.items():
                 timer.times[f"bt.{k}"] = v
     return EighTridiagonalResult(eigenvalues=lam, eigenvectors=V), timer
+
+
+def solve_tridiagonal_streamed(d, e, *, config: SolverConfig = DEFAULT_CONFIG,
+                               group: int = 4096, halo: int = 256,
+                               timer=None):
+    """Full-eigenpair solve that never holds the whole eigenvector basis.
+
+    At n=65536 the f64 basis is 34 GB — over double a v5e chip's HBM — and
+    even at n=32768 (8.6 GB resident) the resident epilogue's transient
+    group working sets exhaust the chip in practice.  This is the
+    TPU-granularity version of the reference's ``writeResults``, which
+    streams eigenvectors to disk one at a time for the same
+    never-hold-everything reason (filehandling.c:369-507): eigenvalues once,
+    then eigenvector columns in fixed-width halo'd windows — each window
+    downswept, refined, sliced to its owned ``group`` columns, and yielded.
+
+    Boundary clusters: every window carries ``halo`` columns on each side
+    and only its central ``group`` columns are owned.  A near-degenerate
+    cluster that straddles an owned boundary is then INTERIOR to both
+    neighboring windows: both run the identical cluster orthonormalization
+    on the identical column set (same executable, same data -> same
+    result), so the owned halves stay mutually orthogonal.  That property
+    is measured, not assumed: tests and the N65536_FULL.json artifact check
+    the adjacent-window cross-Gram, each window's internal Gram, and the
+    reference's own per-column residual (filehandling.c:511-537).
+
+    Single-chip route by design (the multi-device path shards the resident
+    solve instead; see ``solve_tridiagonal(mesh=...)``).
+
+    Returns ``(lam, blocks, timer)``: ``lam`` the (n,) ascending
+    eigenvalues, ``blocks`` a generator yielding ``(col_start, V_owned)``
+    with ``V_owned`` an (n, <=group) f64 block of eigenvector columns
+    ``col_start : col_start + V_owned.shape[1]``, in order.  The timer
+    gains "eigenvalues" up front and accumulates
+    "backtransformation_streamed" as the generator is drained.
+    """
+    from .utils.timing import PhaseTimer
+    from .utils.timing import sync as _sync
+    if timer is None:
+        timer = PhaseTimer()
+    d = jnp.asarray(d, config.dtype)
+    e = jnp.asarray(e, config.dtype)
+    n = int(d.shape[0])
+    group = max(1, min(group, n))
+    halo = max(0, halo)
+    W = min(n, group + 2 * halo)
+    fn, plan, leaf_only = _compiled_upsweep(n, config, None)
+    with timer.phase("eigenvalues"):
+        if leaf_only:
+            lam, lam_flat, Q, d, e = fn(d, e)
+            reps = None
+        else:
+            reps, lam, lam_flat, Q, d, e = fn(d, e)
+        lam_host = np.asarray(lam_flat[:n])   # the fetch syncs the upsweep
+
+    def window(s):
+        sel = jnp.arange(s, s + W)
+        if leaf_only:
+            return Q[0][:, :n][:, sel]
+        Vw = downsweep_stepped(reps, Q, n, config, sel, None)
+        if config.mixed_precision_vectors:
+            Vw = _refine_vectors(d, e, lam_flat[:n], sel, Vw, config,
+                                 lam_host=lam_host)
+        return Vw
+
+    def blocks():
+        V_full = window(0) if W == n else None   # one window covers all
+        for a in range(0, n, group):
+            g = min(group, n - a)
+            t0 = time.perf_counter()
+            if V_full is not None:
+                Vo = jax.lax.dynamic_slice_in_dim(V_full, a, g, axis=1)
+            else:
+                s = min(max(a - halo, 0), n - W)
+                Vw = window(s)
+                Vo = jax.lax.dynamic_slice_in_dim(Vw, a - s, g, axis=1)
+                del Vw
+            _sync(Vo)
+            timer.times["backtransformation_streamed"] = (
+                timer.times.get("backtransformation_streamed", 0.0)
+                + time.perf_counter() - t0)
+            yield a, Vo
+
+    return lam, blocks(), timer
 
 
 def eigh_tridiagonal(d, e, *, config: SolverConfig = DEFAULT_CONFIG,

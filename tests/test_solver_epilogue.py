@@ -188,3 +188,60 @@ def test_grouped_downsweep_refine(rng, monkeypatch):
     res2, _ = solve_tridiagonal_staged(d, e, select=sel, config=cfg)
     Vs = np.asarray(res2.eigenvectors)
     assert np.abs(T @ Vs - Vs * lam1[sel][None, :]).max() < 1e-12 * nT
+
+
+def test_streamed_solve_matches_checks(rng):
+    """solve_tridiagonal_streamed: eigenvalues match the staged solve
+    exactly; every streamed block is residual-accurate, internally
+    orthonormal, and cross-orthogonal to its neighbor (the halo'd-window
+    boundary-cluster property the N65536_FULL.json artifact relies on).
+
+    Ref analog: writeResults streams eigenvectors one at a time
+    (filehandling.c:369-507); residual semantics filehandling.c:511-537."""
+    import jax.numpy as jnp
+
+    from symmetric_eigenvalue_tpu.core.tridiag import residual_norms
+    from symmetric_eigenvalue_tpu.driver import (solve_tridiagonal_staged,
+                                                 solve_tridiagonal_streamed)
+    from symmetric_eigenvalue_tpu.utils.checks import (max_cross_ortho_error,
+                                                       max_ortho_error)
+    n = 384
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    cfg = se.SolverConfig(leaf_size=32, mixed_precision_vectors=True)
+    lam_ref, _ = solve_tridiagonal_staged(d, e, config=cfg)
+    lam, blocks, timer = solve_tridiagonal_streamed(
+        d, e, config=cfg, group=128, halo=32)
+    assert np.array_equal(np.asarray(lam), np.asarray(lam_ref.eigenvalues))
+    norm_t = float(np.abs(np.asarray(lam)).max())
+    prev = None
+    starts = []
+    for a, Vo in blocks:
+        starts.append(a)
+        w = int(Vo.shape[1])
+        res = float(jnp.max(residual_norms(
+            jnp.asarray(d), jnp.asarray(e), lam[a:a + w], Vo)))
+        assert res <= 1e-12 * norm_t
+        assert max_ortho_error(Vo) <= 1e-11
+        if prev is not None:
+            assert max_cross_ortho_error(prev, Vo) <= 1e-11
+        prev = Vo
+    assert starts == [0, 128, 256]
+    assert "eigenvalues" in timer.times
+    assert "backtransformation_streamed" in timer.times
+
+
+def test_streamed_solve_single_window(rng):
+    """n small enough that one window covers everything: the window is
+    computed once and sliced per group."""
+    from symmetric_eigenvalue_tpu.driver import solve_tridiagonal_streamed
+    from symmetric_eigenvalue_tpu.utils.checks import max_ortho_error
+    n = 96
+    d = rng.standard_normal(n)
+    e = rng.standard_normal(n - 1)
+    cfg = se.SolverConfig(leaf_size=16, mixed_precision_vectors=True)
+    lam, blocks, _ = solve_tridiagonal_streamed(d, e, config=cfg,
+                                                group=64, halo=32)
+    got = np.concatenate([np.asarray(Vo) for _, Vo in blocks], axis=1)
+    assert got.shape == (n, n)
+    assert max_ortho_error(got) <= 1e-11
