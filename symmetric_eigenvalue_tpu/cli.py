@@ -155,12 +155,46 @@ def main(argv: Optional[List[str]] = None) -> int:
     print("Start divide phase ...")
     print("Apply batched eigensolver on leaves ...")
     print("Start Conquer Phase ...")
+    # Huge all-eigenvector solves: the output file holds eigenvalues plus
+    # per-column residuals, never the vectors themselves (ref writeResults
+    # streams vectors to disk one at a time for exactly this reason,
+    # filehandling.c:369-507) — so columns can be produced in halo'd
+    # windows, residual-checked on device, and released.  Resident-route
+    # transients exhaust a 16 GB chip past ~12*n^2 bytes (r5 q1a, n=32768).
+    import os as _os
+    stream_bytes = float(_os.environ.get("SE_STREAM_BT_BYTES", "12e9"))
+    use_streamed = (compute_ev and select is None and mesh is None
+                    and (jax.default_backend() == "tpu"
+                         or _os.environ.get("SE_FORCE_STREAMED") == "1")
+                    and 12.0 * float(n) * n > stream_bytes)
+
     timer = PhaseTimer()
+    res_vals = None
+    computed_idx = None
     with maybe_profile(args.profile_dir):
-        result, timer = solve_tridiagonal_staged(
-            d, e, config=config,
-            compute_vectors=(compute_ev and select is None),
-            select=select, mesh=mesh, timer=timer)
+        if use_streamed:
+            from .driver import (_compiled_residuals,
+                                 solve_tridiagonal_streamed)
+            lam, blocks, timer = solve_tridiagonal_streamed(
+                d, e, config=config, timer=timer)
+            lam_np = np.asarray(lam)
+            chunk = max(1, min(config.vec_chunk,
+                               config.resolved_refine_chunk(n)))
+            parts = []
+            for a, Vo in blocks:
+                w = int(Vo.shape[1])
+                parts.append(np.asarray(
+                    _compiled_residuals(n, w, min(chunk, w))(
+                        d, e, jnp.asarray(lam_np[a:a + w]), Vo)))
+            res_vals = np.concatenate(parts)
+            from .driver import EighTridiagonalResult
+            result = EighTridiagonalResult(eigenvalues=lam,
+                                           eigenvectors=None)
+        else:
+            result, timer = solve_tridiagonal_staged(
+                d, e, config=config,
+                compute_vectors=(compute_ev and select is None),
+                select=select, mesh=mesh, timer=timer)
 
     print()
     print(timer.report())
@@ -168,8 +202,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.outputfile is not None:
         print()
         print("Write results to file ...")
-        res_vals = None
-        computed_idx = None
         if result.eigenvectors is not None:
             lam_for_res = (result.eigenvalues if select is None
                            else result.eigenvalues[jnp.asarray(select)])

@@ -165,9 +165,9 @@ def assemble_u(rep: MergeRep, cols: Optional[jnp.ndarray] = None,
     import os
     use_pallas = False
     if dtype == jnp.float32 and os.environ.get(
-            "SE_ROOT_MATERIALIZE", "0") == "1":
-        # default OFF until the round's on-TPU validation flips it: the
-        # kernel is interpret-tested but Mosaic-new this session
+            "SE_ROOT_MATERIALIZE", "1") == "1":
+        # validated on hardware 2026-08-20 (q3v: rel 9.2e-8 vs the f64
+        # reference path, identity columns exact — PALLAS_TPU.json)
         try:
             use_pallas = jax.default_backend() == "tpu"
         except Exception:  # pragma: no cover

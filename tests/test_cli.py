@@ -111,3 +111,21 @@ def test_missing_file_raises_filenotfound(tmp_path):
     from symmetric_eigenvalue_tpu.io.mtx import read_symmetric_tridiagonal
     with pytest.raises(FileNotFoundError):
         read_symmetric_tridiagonal(tmp_path / "nope.mtx")
+
+
+def test_streamed_route_same_output(tmp_path, monkeypatch):
+    """Huge-n CLI solves stream eigenvector windows instead of holding the
+    basis (ref writeResults streams one vector at a time,
+    filehandling.c:369-507); the output file semantics are identical —
+    eigenvalues bit-equal, per-column residuals at the same grade."""
+    out_r = tmp_path / "resident.txt"
+    assert main(["-s", "2", "-n", "96", "-e", str(out_r)]) == 0
+    monkeypatch.setenv("SE_FORCE_STREAMED", "1")
+    monkeypatch.setenv("SE_STREAM_BT_BYTES", "1")
+    out_s = tmp_path / "streamed.txt"
+    assert main(["-s", "2", "-n", "96", "-e", str(out_s)]) == 0
+    lam_r, _ = read_results(out_r)
+    lam_s, res_s = read_results(out_s)
+    assert np.array_equal(lam_r, lam_s)
+    assert all(r is not None for r in res_s)
+    assert max(res_s) < 1e-10
