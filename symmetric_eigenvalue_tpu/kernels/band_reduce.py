@@ -539,6 +539,8 @@ def apply_q2_wave_blocked(n: int, band: int, vlog, X):
     Xp = jnp.zeros((n + 2 * h, C), X.dtype)
     Xp = Xp.at[:n].set(X)
     update = _chase_update_mode()
+    use_dword = (_use_dword_matvec(n, X.dtype)
+                 and os.environ.get("SE_Q2_DWORD", "1") == "1")
     slots = jnp.arange(Smax)
     gr = jnp.arange(g)
     hr = jnp.arange(h)
@@ -573,9 +575,23 @@ def apply_q2_wave_blocked(n: int, band: int, vlog, X):
 
         rows_idx = basep[:, None] + hr[None, :]            # (S, h)
         G = Xp[rows_idx]                                   # (S, h, C)
-        W1 = jnp.einsum("shg,shc->sgc", Y, G)
-        W2 = jnp.einsum("sgf,sfc->sgc", Tm, W1)
-        G = G - jnp.einsum("shg,sgc->shc", Y, W2)
+        if use_dword:
+            # XLA's emulated-f64 batched einsum runs ~0.1 TFLOP/s (and is
+            # the ~390 s wall at n=16384 — PLAN_SBR2.md): route each slot's
+            # three GEMMs through the MXU-sliced double-word kernel.  Slots
+            # are sequential under lax.map, but the per-kernel floor
+            # (3 * Smax * Twaves * ~0.1 ms) is still ~20x cheaper.
+            def slot_update(args):
+                Ys, Tms, Gs = args                         # (h,g),(g,g),(h,C)
+                W1 = _mm(Ys.T, Gs, True)                   # (g, C)
+                W2 = _mm(Tms, W1, True)
+                return Gs - _mm(Ys, W2, True)
+
+            G = lax.map(slot_update, (Y, Tm, G))
+        else:
+            W1 = jnp.einsum("shg,shc->sgc", Y, G)
+            W2 = jnp.einsum("sgf,sfc->sgc", Tm, W1)
+            G = G - jnp.einsum("shg,sgc->shc", Y, W2)
         if update == "dus":
             # in-place row-block writes: the batched row scatter costs
             # ~150 ns/element on TPU (whole-buffer copy per wave) while
