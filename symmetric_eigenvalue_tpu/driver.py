@@ -365,13 +365,21 @@ def _compiled_upsweep(n: int, config: SolverConfig, mesh_id):
 
 @functools.lru_cache(maxsize=32)
 def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
-                              mesh_id):
+                              mesh_id, m_fold: int = 0):
     """Per-level jitted downsweep stages with X-buffer donation.
 
     One dispatch per tree level keeps only X_in/X_out (+ block scratch) live —
     the whole-solve single jit at n=16384 f64 peaks ~28 GB of HLO temps
     (several 2.1 GB eigenvector blocks co-scheduled plus reshape copies),
     while the stepped sweep stays within ~5 GB.
+
+    ``m_fold``: deep levels with merge_size <= m_fold (plus the leaf apply)
+    are FOLDED into one jitted dispatch.  The deep tail is pure dispatch
+    latency on the tunneled platform (~16 ms/dispatch; m<=512 levels ran
+    0.17-0.18 TFLOP/s over 32 dispatches at n=16384 — DOWNSWEEP_KERNEL.json)
+    while its live set is small (each deep level's U blocks are narrow), so
+    one program keeps the stepped sweep's memory shape.  Single-device only
+    (the mesh path keeps per-level dispatches for its collectives).
     """
     from .dist.mesh import last_axis_sharded
 
@@ -422,7 +430,24 @@ def _compiled_downsweep_steps(n: int, config: SolverConfig, ncols: int,
         return X[jnp.asarray(plan.row_map())]
 
     leaf_fn = jax.jit(leaf_step, donate_argnums=(1,))
-    return plan, root_fn, level_fns, leaf_fn
+
+    deep_n = 0
+    if m_fold > 0 and mesh is None:
+        while (deep_n < plan.num_levels - 1
+               and plan.levels[deep_n].merge_size <= m_fold):
+            deep_n += 1
+    deep_fn = None
+    if deep_n:
+        def deep_step(reps_deep, Q, X):
+            for j in range(deep_n - 1, -1, -1):
+                lv = plan.levels[j]
+                X = X.reshape(lv.num_merges, lv.merge_size, ncols)
+                X = apply_u_level(reps_deep[j], X, block=block)
+                X = X.reshape(lv.num_merges * lv.merge_size, ncols)
+            return leaf_step(Q, X)
+
+        deep_fn = jax.jit(deep_step, donate_argnums=(2,))
+    return plan, root_fn, level_fns, leaf_fn, (deep_n, deep_fn)
 
 
 @functools.lru_cache(maxsize=32)
@@ -1001,12 +1026,20 @@ def downsweep_stepped(reps, Q_leaf, n: int, config: SolverConfig, sel,
     mesh_key = (id(mesh), mesh) if mesh is not None else None
     top = jax.tree.map(lambda a: a[0], reps[-1])
 
+    try:
+        m_fold = int(os.environ.get("SE_FOLD_LEVELS_M", "1024"))
+    except ValueError:
+        m_fold = 1024
+
     def run_chunk(sel_chunk):
-        plan, root_fn, level_fns, leaf_fn = _compiled_downsweep_steps(
-            n, config, int(sel_chunk.shape[0]), mesh_key)
+        plan, root_fn, level_fns, leaf_fn, (deep_n, deep_fn) = \
+            _compiled_downsweep_steps(n, config, int(sel_chunk.shape[0]),
+                                      mesh_key, m_fold)
         X = root_fn(top, sel_chunk)
-        for li in range(plan.num_levels - 2, -1, -1):
+        for li in range(plan.num_levels - 2, deep_n - 1, -1):
             X = level_fns[li](reps[li], X)
+        if deep_fn is not None:
+            return deep_fn(tuple(reps[:deep_n]), Q_leaf, X)
         return leaf_fn(Q_leaf, X)
 
     C = int(sel.shape[0])

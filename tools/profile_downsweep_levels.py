@@ -61,8 +61,9 @@ def main():
     sel = jnp.arange(N)
     C = N
     chunk = max(1, cfg.vec_chunk)
-    plan2, root_fn, level_fns, leaf_fn = driver._compiled_downsweep_steps(
-        N, cfg, min(chunk, C), None)
+    # m_fold=0: per-level dispatches so each level is separately timeable
+    plan2, root_fn, level_fns, leaf_fn, _deep = driver._compiled_downsweep_steps(
+        N, cfg, min(chunk, C), None, 0)
     top = jax.tree.map(lambda a: a[0], reps[-1])
 
     def run_profiled(record):
