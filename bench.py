@@ -164,7 +164,7 @@ def baseline_seconds(d, e, n, seed, matrix, vectors, measure_cap=None):
     return dt
 
 
-def run_config_streamed(n, seed, matrix, d_np, e_np, base_s, cfg):
+def run_config_streamed(n, seed, matrix, d_np, e_np, base_s, cfg, reps=1):
     """Huge full-eigenpair configs (n>=32768 class): the resident epilogue's
     transient group sets exhaust the 16 GB chip even when the bare f64 basis
     fits (r5 q1a: device_put OOM mid-loop at n=32768), so measure the
@@ -186,36 +186,54 @@ def run_config_streamed(n, seed, matrix, d_np, e_np, base_s, cfg):
     halo = int(os.environ.get("BENCH_STREAM_HALO", "256"))
     log(f"streamed route: group={group} halo={halo}")
     rng = np.random.default_rng(seed)
-    t0 = time.perf_counter()
-    lam, blocks, timer = solve_tridiagonal_streamed(
-        d_np, e_np, config=cfg, group=group, halo=halo)
-    lam_np = np.asarray(lam)
     norm_t = float(np.abs(d_np).max() + 2 * np.abs(e_np).max())
     d = jnp.asarray(d_np, cfg.dtype)
     e = jnp.asarray(e_np, cfg.dtype)
     chunk = max(1, min(cfg.vec_chunk, cfg.resolved_refine_chunk(n)))
     res_max = ortho_max = cross_max = 0.0
-    prev = None
-    samples = []
-    for a, Vo in blocks:
-        w = int(Vo.shape[1])
-        res_g = np.asarray(_compiled_residuals(n, w, min(chunk, w))(
-            d, e, jnp.asarray(lam_np[a:a + w]), Vo))
-        res_max = max(res_max, float(res_g.max()))
-        ortho_max = max(ortho_max, max_ortho_error(Vo))
-        if prev is not None:
-            cross_max = max(cross_max, max_cross_ortho_error(prev, Vo))
-        take = np.sort(rng.choice(w, size=min(8, w), replace=False))
-        samples.append(np.asarray(Vo[:, jnp.asarray(take)]))
-        prev = Vo
-        log(f"  group [{a}:{a + w}] res={res_g.max():.2e}")
-    del prev
-    ortho_sample = max_ortho_error(jnp.asarray(np.concatenate(samples, 1)))
-    ours = timer.times["eigenvalues"] + timer.times[
-        "backtransformation_streamed"]
+    ortho_sample = 0.0
+    times = []
+    phases = {}
+    t0 = time.perf_counter()
+    for r in range(max(1, reps)):
+        lam, blocks, timer = solve_tridiagonal_streamed(
+            d_np, e_np, config=cfg, group=group, halo=halo)
+        if r == 0:
+            # accuracy self-checks interleave with the first pass only
+            # (they sit OUTSIDE the timed regions either way)
+            lam_np = np.asarray(lam)
+            prev = None
+            samples = []
+            for a, Vo in blocks:
+                w = int(Vo.shape[1])
+                res_g = np.asarray(_compiled_residuals(n, w, min(chunk, w))(
+                    d, e, jnp.asarray(lam_np[a:a + w]), Vo))
+                res_max = max(res_max, float(res_g.max()))
+                ortho_max = max(ortho_max, max_ortho_error(Vo))
+                if prev is not None:
+                    cross_max = max(cross_max,
+                                    max_cross_ortho_error(prev, Vo))
+                take = np.sort(rng.choice(w, size=min(8, w),
+                                          replace=False))
+                samples.append(np.asarray(Vo[:, jnp.asarray(take)]))
+                prev = Vo
+                log(f"  group [{a}:{a + w}] res={res_g.max():.2e}")
+            del prev
+            ortho_sample = max_ortho_error(
+                jnp.asarray(np.concatenate(samples, 1)))
+            del samples
+        else:
+            for _a, _Vo in blocks:   # warm pass: drain, checks already done
+                pass
+        times.append(timer.times["eigenvalues"]
+                     + timer.times["backtransformation_streamed"])
+        phases = {k: round(v, 3) for k, v in timer.times.items()}
+        log(f"  pass {r}: {times[-1]:.1f}s "
+            + ", ".join(f"{k}={v:.2f}s" for k, v in timer.times.items()))
+    ours = min(times)
     rel = res_max / norm_t
     log(f"streamed total: {time.perf_counter() - t0:.1f}s wall, "
-        f"solver {ours:.1f}s, residual {rel:.3e}*||T||")
+        f"best solver pass {ours:.1f}s, residual {rel:.3e}*||T||")
     mat = "" if matrix == "random" else f"_{matrix}"
     return {
         "metric": f"wallclock_full_eigenpairs_n{n}{mat}",
@@ -227,7 +245,8 @@ def run_config_streamed(n, seed, matrix, d_np, e_np, base_s, cfg):
         "baseline_def": "LAPACK dstevd (scipy eigh_tridiagonal) host CPU",
         "max_residual_over_normT": float(f"{rel:.3e}"),
         "residual_target_met": bool(rel <= 1e-12),
-        "phases_s": {k: round(v, 3) for k, v in timer.times.items()},
+        "phases_s": phases,
+        "first_pass_s": round(times[0], 4),
         "backend": jax.default_backend(),
         "mixed_precision": MIXED,
         "streamed": True,
@@ -268,9 +287,11 @@ def run_config(n, seed, matrix, vectors, reps, baseline_cap=None):
     # once; past this the resident epilogue OOMs a 16 GB chip in practice
     # (n=32768 q1a) -> the streamed route, like the reference at scale
     stream_bytes = float(os.environ.get("BENCH_STREAM_BYTES", "12e9"))
-    if (vectors and jax.default_backend() == "tpu"
+    if (vectors and (jax.default_backend() == "tpu"
+                     or os.environ.get("BENCH_FORCE_STREAM") == "1")
             and 12.0 * n * n > stream_bytes):
-        return run_config_streamed(n, seed, matrix, d_np, e_np, base_s, cfg)
+        return run_config_streamed(n, seed, matrix, d_np, e_np, base_s, cfg,
+                                   reps=reps)
     plan = build_plan(n, cfg.resolved_leaf_size(n), cfg.max_leaves)
     log(f"plan: P={plan.num_leaves} L={plan.num_levels} b={plan.leaf_pad}")
 
